@@ -1,0 +1,20 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so that multi-chip sharding
+(`pjit` over a `jax.sharding.Mesh`) can be validated without TPU pods.
+This mirrors the reference's implicit reliance on real GPUs for its
+DataParallel/DDP paths (reference train.py:136-138, light_training/trainer.py:97)
+but makes it testable on any host.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
