@@ -1,0 +1,132 @@
+"""Functional diffusion-segmentation API.
+
+TPU-native replacement for the reference's `Diffusion` nn.Module base class
+(models/diffusion/diffusion.py:11-102), whose `forward(pred_type=...)` string
+dispatch becomes three pure functions over explicit params and RNG keys:
+
+- `q_sample`   == pred_type="q_sample"   (diffusion.py:65-69)
+- `denoise`    == pred_type="denoise"    (diffusion.py:71-84)
+- `ddim_sample`== pred_type="ddim_sample"(diffusion.py:86-102), but batched:
+  the reference loops batch elements one at a time in Python and round-trips
+  every step through host memory (gaussian_diffusion.py:660); here the image
+  is embedded once and the 10 respaced DDIM steps run as a single `lax.scan`
+  over the whole batch, accumulating the pred_xstart sum on device.
+
+Two schedules are built exactly as the reference does (diffusion.py:33-45):
+the full-T training process and the respaced sampling process.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diff_unet_tpu.diffusion import gaussian, sampling
+from diff_unet_tpu.diffusion.schedule import Schedule
+
+Params = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionSegmenter:
+    """Bundles a denoiser module with its train/sample diffusion processes."""
+
+    module: nn.Module
+    num_classes: int
+    timesteps: int = 1000
+    sample_steps: int = 10
+    schedule_name: str = "linear"
+    mean_type: str = gaussian.START_X
+    var_type: str = gaussian.FIXED_LARGE
+
+    @cached_property
+    def train_schedule(self) -> Schedule:
+        return Schedule.create(self.schedule_name, self.timesteps)
+
+    @cached_property
+    def sample_schedule(self) -> Schedule:
+        return Schedule.create(
+            self.schedule_name, self.timesteps, respace=[self.sample_steps]
+        )
+
+    # ---- init ----
+    def init(self, rng: jax.Array, image_shape: Sequence[int]) -> Params:
+        """Initialise parameters from an example image shape (N,D,H,W,1)."""
+        n, d, h, w, _ = image_shape
+        image = jnp.zeros(image_shape, jnp.float32)
+        x = jnp.zeros((n, d, h, w, self.num_classes), jnp.float32)
+        t = jnp.zeros((n,), jnp.int32)
+        return self.module.init(rng, image, x, t)
+
+    # ---- the three pred_type paths ----
+    def q_sample(
+        self, x_start: jnp.ndarray, rng: jax.Array
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Draw t ~ U[0,T), noise ~ N(0,1); return (x_t, t, noise)."""
+        t_rng, n_rng = jax.random.split(rng)
+        t, _ = gaussian.uniform_timesteps(
+            t_rng, x_start.shape[0], self.timesteps
+        )
+        noise = jax.random.normal(n_rng, x_start.shape, x_start.dtype)
+        x_t = gaussian.q_sample(self.train_schedule, x_start, t, noise)
+        return x_t, t, noise
+
+    def denoise(
+        self, params: Params, image: jnp.ndarray, x: jnp.ndarray,
+        t: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Predict x_0 logits for x_t at step t, conditioned on the image."""
+        return self.module.apply(params, image, x, t, method="denoise")
+
+    def ddim_sample(
+        self,
+        params: Params,
+        image: jnp.ndarray,
+        rng: jax.Array,
+        *,
+        eta: float = 0.0,
+        return_all: bool = False,
+    ) -> jnp.ndarray:
+        """Respaced DDIM loop; returns the per-step pred_xstart sum as logits."""
+        embeddings = self.module.apply(params, image, method="embed")
+
+        def denoise_fn(x, t):
+            return self.module.apply(
+                params, x, t, embeddings, image,
+                method="denoise_with_embeddings",
+            )
+
+        b = image.shape[0]
+        shape = (b, *image.shape[1:-1], self.num_classes)
+        out = sampling.ddim_sample_loop(
+            denoise_fn, self.sample_schedule, shape, rng, eta=eta,
+            mean_type=self.mean_type, var_type=self.var_type,
+            clip_denoised=True,
+        )
+        if return_all:
+            return out
+        return out.pred_xstart_sum
+
+    def ddpm_sample(
+        self, params: Params, image: jnp.ndarray, rng: jax.Array,
+    ) -> sampling.SampleLoopOutput:
+        """Ancestral sampling over the respaced process (capability parity
+        with gaussian_diffusion.p_sample_loop)."""
+        embeddings = self.module.apply(params, image, method="embed")
+
+        def denoise_fn(x, t):
+            return self.module.apply(
+                params, x, t, embeddings, image,
+                method="denoise_with_embeddings",
+            )
+
+        b = image.shape[0]
+        shape = (b, *image.shape[1:-1], self.num_classes)
+        return sampling.p_sample_loop(
+            denoise_fn, self.sample_schedule, shape, rng,
+            mean_type=self.mean_type, var_type=self.var_type,
+        )

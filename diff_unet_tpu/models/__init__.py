@@ -1,0 +1,5 @@
+from diff_unet_tpu.models.basic_unet import (  # noqa: F401
+    BasicUNetDenoiser,
+    BasicUNetEncoder,
+)
+from diff_unet_tpu.models.diff_unet import DiffUNet  # noqa: F401

@@ -1,0 +1,176 @@
+"""Channel-last 3D building blocks for TPU.
+
+Capability parity with the reference's MONAI-based blocks — TwoConv/Down/UpCat
+with timestep FiLM (models/basic_unet/denoiser.py:23-194) and the sinusoidal
+TimeStepEmbedder (models/diffusion/utils.py:6-54) — redesigned NDHWC
+(channel-last), the layout XLA tiles best onto the MXU for 3D convolutions.
+
+Each conv block is Conv3D(k3, same) → InstanceNorm(affine) → LeakyReLU(0.1),
+matching MONAI `Convolution`'s "NDA" ordering with
+norm=("instance", {"affine": True}) and act=("LeakyReLU", {0.1}) as
+instantiated by the reference models. Norm statistics are accumulated in
+float32 regardless of compute dtype (bf16-safe).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+TEMB_DIM = 128
+TEMB_FEATURES = 512
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int = TEMB_DIM) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (reference models/diffusion/utils.py:6-24).
+
+    [sin(t*w), cos(t*w)] with w = exp(-log(10000) * i / (dim/2 - 1)).
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / (half - 1)
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedder(nn.Module):
+    """Sinusoidal embedding -> Dense -> swish -> Dense.
+
+    Parity with reference TimeStepEmbedder (models/diffusion/utils.py:31-54).
+    """
+    embedding_dim: int = TEMB_DIM
+    out_features: int = TEMB_FEATURES
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        x = timestep_embedding(t, self.embedding_dim)
+        x = nn.Dense(self.out_features, dtype=self.dtype, name="dense_0")(x)
+        x = swish(x)
+        x = nn.Dense(self.out_features, dtype=self.dtype, name="dense_1")(x)
+        return x
+
+
+class InstanceNorm(nn.Module):
+    """Instance normalization over spatial dims of an NDHWC tensor.
+
+    Equivalent to torch InstanceNorm3d(C, affine=True, eps=1e-5) as produced
+    by MONAI's norm=("instance", {"affine": True}). Statistics in float32.
+    """
+    epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        axes = tuple(range(1, x.ndim - 1))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(self.dtype or x.dtype)
+
+
+class ConvNormAct(nn.Module):
+    """Conv3D(k3, same, bias) -> InstanceNorm -> LeakyReLU(negative_slope)."""
+    features: int
+    negative_slope: float = 0.1
+    kernel_size: int = 3
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features,
+            kernel_size=(self.kernel_size,) * 3,
+            padding="SAME",
+            use_bias=True,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = InstanceNorm(dtype=self.dtype, name="norm")(x)
+        return nn.leaky_relu(x, negative_slope=self.negative_slope)
+
+
+class TwoConv(nn.Module):
+    """Two conv blocks; optionally FiLM-adds a projected timestep embedding
+    between them (reference denoiser.py:63-67: x = conv_0(x);
+    x += temb_proj(swish(temb)); x = conv_1(x))."""
+    features: int
+    use_temb: bool = True
+    negative_slope: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        x = ConvNormAct(self.features, self.negative_slope,
+                        dtype=self.dtype, name="conv_0")(x)
+        if self.use_temb and temb is not None:
+            proj = nn.Dense(self.features, dtype=self.dtype,
+                            name="temb_proj")(swish(temb))
+            x = x + proj[:, None, None, None, :].astype(x.dtype)
+        x = ConvNormAct(self.features, self.negative_slope,
+                        dtype=self.dtype, name="conv_1")(x)
+        return x
+
+
+class Down(nn.Module):
+    """2x max-pool then TwoConv (reference denoiser.py:70-108)."""
+    features: int
+    use_temb: bool = True
+    negative_slope: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, temb=None):
+        x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
+        return TwoConv(self.features, self.use_temb, self.negative_slope,
+                       dtype=self.dtype, name="convs")(x, temb)
+
+
+class UpCat(nn.Module):
+    """Transposed-conv 2x upsample, concat encoder skip, TwoConv.
+
+    Parity with reference UpCat (denoiser.py:110-194): deconv(k2,s2) halving
+    channels (unless `halves=False`), replicate-pad odd shape mismatches,
+    concat on channels, TwoConv with temb.
+    """
+    features: int          # output channels of the TwoConv
+    up_features: int       # channels after the deconv
+    use_temb: bool = True
+    negative_slope: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, x_skip, temb=None):
+        x0 = nn.ConvTranspose(
+            self.up_features, kernel_size=(2, 2, 2), strides=(2, 2, 2),
+            dtype=self.dtype, name="upsample",
+        )(x)
+        if x_skip is not None:
+            # Pad the upsampled map when the skip has odd edge lengths
+            # (never triggered at 96^3; shapes are static at trace time).
+            pads = [(0, 0)]
+            for d in range(1, 4):
+                pads.append((0, x_skip.shape[d] - x0.shape[d]))
+            pads.append((0, 0))
+            if any(p != (0, 0) for p in pads):
+                x0 = jnp.pad(x0, pads, mode="edge")
+            x0 = jnp.concatenate([x_skip, x0], axis=-1)
+        return TwoConv(self.features, self.use_temb, self.negative_slope,
+                       dtype=self.dtype, name="convs")(x0, temb)
