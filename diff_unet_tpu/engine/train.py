@@ -1,0 +1,148 @@
+"""Training engine: one pjit-compiled step = q_sample + denoise + loss +
+grad + optimizer update.
+
+Capability parity with the reference Trainer's per-batch path
+(train.py:258-273: q_sample -> denoise -> composite loss; train.py:226-238:
+AMP autocast + GradScaler + AdamW step) and LinearWarmupCosineAnnealingLR
+(light_training/utils/lr_scheduler.py:19-95) — redesigned so the whole step
+is a single XLA program: no autocast/GradScaler (bf16 compute with fp32
+params/optimizer is the TPU idiom replacing AMP, SURVEY.md component #40),
+no Python-side scheduler object (optax schedule closed over the step).
+
+The NaN-loss abort (train.py:240-241) is preserved as an on-device flag
+returned in the metrics; the host raises between steps without forcing a
+sync every step.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from diff_unet_tpu.api import DiffusionSegmenter
+from diff_unet_tpu.diffusion import gaussian
+from diff_unet_tpu.losses import CompositeLoss
+
+
+class TrainState(train_state.TrainState):
+    """flax TrainState (step/params/tx/opt_state); extended per need."""
+
+
+def linear_warmup_cosine(
+    base_lr: float,
+    warmup_epochs: int,
+    max_epochs: int,
+    steps_per_epoch: int,
+    warmup_start_lr: float = 0.0,
+    eta_min: float = 0.0,
+) -> optax.Schedule:
+    """Per-step schedule matching LinearWarmupCosineAnnealingLR's per-epoch
+    closed form (lr_scheduler.py:78-95): linear warmup_start_lr -> base_lr
+    over `warmup_epochs`, then cosine to `eta_min` at `max_epochs`."""
+
+    def schedule(step):
+        epoch = step / steps_per_epoch
+        warm = warmup_start_lr + (base_lr - warmup_start_lr) * jnp.minimum(
+            epoch / jnp.maximum(warmup_epochs, 1e-8), 1.0
+        )
+        progress = (epoch - warmup_epochs) / jnp.maximum(
+            max_epochs - warmup_epochs, 1e-8
+        )
+        progress = jnp.clip(progress, 0.0, 1.0)
+        cos = eta_min + (base_lr - eta_min) * 0.5 * (
+            1.0 + jnp.cos(math.pi * progress)
+        )
+        return jnp.where(epoch < warmup_epochs, warm, cos)
+
+    return schedule
+
+
+def make_optimizer(
+    lr: float = 1e-4,
+    weight_decay: float = 1e-3,
+    scheduler: Optional[str] = None,
+    warmup_epochs: int = 100,
+    max_epochs: int = 5000,
+    steps_per_epoch: int = 1,
+) -> optax.GradientTransformation:
+    """AdamW (train.py:121) with optional warmup-cosine schedule."""
+    if scheduler in ("cosine_annealing", "warmup_cosine", "cosine"):
+        lr = linear_warmup_cosine(lr, warmup_epochs, max_epochs,
+                                  steps_per_epoch)
+    return optax.adamw(learning_rate=lr, weight_decay=weight_decay)
+
+
+def create_train_state(
+    seg: DiffusionSegmenter,
+    rng: jax.Array,
+    image_shape,
+    tx: Optional[optax.GradientTransformation] = None,
+) -> TrainState:
+    params = seg.init(rng, image_shape)
+    tx = tx or make_optimizer()
+    return TrainState.create(
+        apply_fn=seg.module.apply, params=params, tx=tx
+    )
+
+
+def make_train_step(
+    seg: DiffusionSegmenter,
+    criterion: CompositeLoss,
+    *,
+    model_type: str = "diffusion",
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step.
+
+    step(state, batch, rng) -> (state, metrics) where batch is a dict with
+    "image" (N,D,H,W,1) float and "label" (N,D,H,W,C) one-hot float (plus
+    optional "dist_maps" for the boundary loss). The diffusion path follows
+    train.py:261-268: x_start = labels*2-1; x_t,t ~ q_sample; preds =
+    denoise(x_t, t | image); loss = criterion(preds, labels).
+    """
+
+    def loss_fn(params, batch, rng):
+        image = batch["image"]
+        labels = batch["label"]
+        if model_type == "diffusion":
+            x_start = labels * 2.0 - 1.0
+            t_rng, n_rng = jax.random.split(rng)
+            t, _ = gaussian.uniform_timesteps(
+                t_rng, x_start.shape[0], seg.timesteps
+            )
+            noise = jax.random.normal(n_rng, x_start.shape, x_start.dtype)
+            x_t = gaussian.q_sample(seg.train_schedule, x_start, t, noise)
+            preds = seg.module.apply(params, image, x_t, t, method="denoise")
+        else:
+            preds = seg.module.apply(params, image)
+        loss = criterion(
+            preds.astype(jnp.float32), labels, batch.get("dist_maps")
+        )
+        return loss, preds
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        new_state = state.apply_gradients(grads=grads)
+        gnorm = optax.global_norm(grads)
+        metrics = {
+            "loss": loss,
+            "grad_norm": gnorm,
+            "nonfinite": jnp.logical_not(jnp.isfinite(loss)),
+        }
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_denoise_fn(seg: DiffusionSegmenter) -> Callable:
+    """Jitted whole-batch DDIM inference: image -> summed x0 logits."""
+    def f(params, image, rng):
+        return seg.ddim_sample(params, image, rng)
+    return jax.jit(f)

@@ -5,10 +5,13 @@ Tests run on a virtual 8-device CPU mesh so that multi-chip sharding
 This mirrors the reference's implicit reliance on real GPUs for its
 DataParallel/DDP paths (reference train.py:136-138, light_training/trainer.py:97)
 but makes it testable on any host.
+
+Note: the ambient environment boots an `axon` TPU backend from
+sitecustomize and pins jax_platforms there, so plain env vars are not
+enough — the platform must be overridden via jax.config after import.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +20,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

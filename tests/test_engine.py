@@ -1,0 +1,116 @@
+"""Training engine tests: schedule closed form, loss decrease, 8-device mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diff_unet_tpu.api import DiffusionSegmenter
+from diff_unet_tpu.engine import (
+    linear_warmup_cosine,
+    make_optimizer,
+    make_train_step,
+)
+from diff_unet_tpu.engine.train import create_train_state
+from diff_unet_tpu.losses import CompositeLoss
+from diff_unet_tpu.models import DiffUNet
+from diff_unet_tpu.parallel import create_mesh, replicate, shard_batch
+
+C = 3
+FEATURES = (4, 4, 8, 16, 32, 4)
+SHAPE = (2, 16, 16, 16, 1)
+
+
+def _make_seg():
+    return DiffusionSegmenter(
+        module=DiffUNet(out_channels=C, features=FEATURES), num_classes=C
+    )
+
+
+def _make_batch(rng):
+    label_idx = jax.random.randint(rng, SHAPE[:4], 0, C)
+    return {
+        "image": jax.random.normal(rng, SHAPE, jnp.float32),
+        "label": jax.nn.one_hot(label_idx, C).astype(jnp.float32),
+    }
+
+
+def test_warmup_cosine_closed_form():
+    sched = linear_warmup_cosine(
+        base_lr=1.0, warmup_epochs=10, max_epochs=100, steps_per_epoch=1
+    )
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(5)), 0.5, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(10)), 1.0, rtol=1e-6)
+    # halfway through cosine: (10 + 100)/2 = epoch 55 -> lr = 0.5
+    np.testing.assert_allclose(float(sched(55)), 0.5, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(100)), 0.0, atol=1e-7)
+    # clamps beyond max_epochs
+    np.testing.assert_allclose(float(sched(150)), 0.0, atol=1e-7)
+
+
+def test_train_step_decreases_loss():
+    seg = _make_seg()
+    tx = make_optimizer(lr=3e-3)
+    state = create_train_state(seg, jax.random.key(0), SHAPE, tx)
+    step = make_train_step(seg, CompositeLoss("mse,bce,dice", C),
+                           donate=False)
+    batch = _make_batch(jax.random.key(1))
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.key(42))
+        losses.append(float(metrics["loss"]))
+        assert not bool(metrics["nonfinite"])
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+
+
+def test_train_step_on_8_device_mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    mesh = create_mesh(jax.devices()[:8], space=2)
+    assert dict(mesh.shape) == {"data": 4, "space": 2}
+
+    seg = _make_seg()
+    shape = (4, 16, 16, 16, 1)  # batch divisible by the 4-way data axis
+    state = create_train_state(seg, jax.random.key(0), shape,
+                               make_optimizer(lr=1e-3))
+    state = replicate(state, mesh)
+    rng = jax.random.key(1)
+    batch = {
+        "image": jax.random.normal(rng, shape, jnp.float32),
+        "label": jax.nn.one_hot(
+            jax.random.randint(rng, shape[:4], 0, C), C
+        ).astype(jnp.float32),
+    }
+    batch = shard_batch(batch, mesh, spatial_sharded=True)
+    step = make_train_step(seg, CompositeLoss("mse,bce,dice", C),
+                           donate=False)
+    with mesh:
+        state, metrics = step(state, batch, jax.random.key(2))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sharded_step_matches_single_device():
+    """Data-parallel step must produce the same update as single-device."""
+    seg = _make_seg()
+    tx = make_optimizer(lr=1e-3)
+    batch = _make_batch(jax.random.key(1))
+    step = make_train_step(seg, CompositeLoss("mse,bce,dice", C),
+                           donate=False)
+
+    s0 = create_train_state(seg, jax.random.key(0), SHAPE, tx)
+    _, m_single = step(s0, batch, jax.random.key(2))
+
+    mesh = create_mesh(jax.devices()[:2], space=1)
+    s1 = replicate(create_train_state(seg, jax.random.key(0), SHAPE, tx),
+                   mesh)
+    sb = shard_batch(batch, mesh)
+    with mesh:
+        _, m_mesh = step(s1, sb, jax.random.key(2))
+    np.testing.assert_allclose(float(m_single["loss"]),
+                               float(m_mesh["loss"]), rtol=1e-5)
+
+
+def test_graft_entry_dryrun():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
