@@ -1,0 +1,89 @@
+"""Benchmark: DDIM denoise steps/sec/chip on the flagship Diff-UNet.
+
+Measures the jitted respaced DDIM-10 sampling loop (embed-once + 10 denoiser
+forwards per window) on a batch of sw_batch_size=4 windows of 96^3 — the
+exact inner workload of whole-volume sliding-window inference
+(reference engine.py:167-177 with cfg/amos settings).
+
+One "denoise step" = one denoiser forward on one 96^3 window (the unit the
+reference executes (windows x 10) times per volume, SURVEY.md §3.2).
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md), so the
+anchor is an analytic A100 estimate computed from this model's own measured
+FLOPs: A100 bf16 peak 312 TFLOP/s x 45% assumed MFU for a conv-heavy UNet.
+This is recorded (not hidden): baseline_steps_per_sec is included in the
+JSON line and the methodology lives in BASELINE.md.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+SW_BATCH = 4
+STEPS = 10
+CLASSES = 15
+ROI = 96
+A100_PEAK_FLOPS = 312e12
+A100_ASSUMED_MFU = 0.45
+
+
+def main():
+    from diff_unet_tpu.api import DiffusionSegmenter
+    from diff_unet_tpu.models import DiffUNet
+
+    seg = DiffusionSegmenter(
+        module=DiffUNet(out_channels=CLASSES, dtype=jnp.bfloat16),
+        num_classes=CLASSES, sample_steps=STEPS,
+    )
+    shape = (SW_BATCH, ROI, ROI, ROI, 1)
+    params = seg.init(jax.random.key(0), shape)
+    image = jax.random.normal(jax.random.key(1), shape, jnp.float32)
+
+    sample = jax.jit(seg.ddim_sample)
+
+    # FLOPs of a single denoiser forward (one step, full window batch)
+    denoise = jax.jit(seg.denoise)
+    x_t = jnp.zeros((SW_BATCH, ROI, ROI, ROI, CLASSES), jnp.float32)
+    t = jnp.zeros((SW_BATCH,), jnp.int32)
+    try:
+        cost = denoise.lower(params, image, x_t, t).compile().cost_analysis()
+        flops_per_batch_step = float(cost["flops"])
+    except Exception:
+        flops_per_batch_step = float("nan")
+
+    # warmup / compile
+    sample(params, image, jax.random.key(2)).block_until_ready()
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = sample(params, image, jax.random.key(3 + i))
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    window_steps = SW_BATCH * STEPS * n_iters
+    steps_per_sec = window_steps / elapsed
+
+    if flops_per_batch_step == flops_per_batch_step:  # not NaN
+        flops_per_step = flops_per_batch_step / SW_BATCH
+        baseline = A100_PEAK_FLOPS * A100_ASSUMED_MFU / flops_per_step
+    else:
+        baseline = float("nan")
+
+    print(json.dumps({
+        "metric": "ddim_denoise_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 2),
+        "unit": "96^3-window denoiser steps/sec",
+        "vs_baseline": round(steps_per_sec / baseline, 3)
+        if baseline == baseline else None,
+        "baseline_steps_per_sec": round(baseline, 2)
+        if baseline == baseline else None,
+        "flops_per_step": flops_per_step if baseline == baseline else None,
+        "sw_batch": SW_BATCH, "steps": STEPS, "classes": CLASSES,
+        "seconds_per_window_batch": round(elapsed / n_iters, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

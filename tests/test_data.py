@@ -1,0 +1,179 @@
+"""Data layer: NIfTI round-trip, RAS reorientation, transforms, loader."""
+import json
+
+import numpy as np
+import pytest
+
+from diff_unet_tpu.data import (
+    CacheDataset,
+    DataLoader,
+    get_class_names,
+    load_decathlon_datalist,
+    read_nifti,
+    write_nifti,
+)
+from diff_unet_tpu.data.nifti import NiftiImage, orientation_codes, to_ras
+from diff_unet_tpu.data import transforms as T
+
+
+def test_nifti_round_trip(tmp_path):
+    rng = np.random.RandomState(0)
+    vol = rng.randint(-1000, 1000, (7, 9, 11)).astype(np.int16)
+    affine = np.diag([1.5, 1.5, 2.0, 1.0])
+    for name in ["a.nii", "b.nii.gz"]:
+        p = tmp_path / name
+        write_nifti(p, vol, affine)
+        img = read_nifti(p)
+        np.testing.assert_array_equal(img.data, vol)
+        np.testing.assert_allclose(img.affine, affine)
+        np.testing.assert_allclose(img.spacing, [1.5, 1.5, 2.0])
+
+
+def test_nifti_float_and_bool(tmp_path):
+    vol = np.random.RandomState(1).rand(4, 5, 6).astype(np.float32)
+    write_nifti(tmp_path / "f.nii.gz", vol)
+    np.testing.assert_allclose(read_nifti(tmp_path / "f.nii.gz").data, vol)
+    mask = vol > 0.5
+    write_nifti(tmp_path / "m.nii.gz", mask)
+    np.testing.assert_array_equal(
+        read_nifti(tmp_path / "m.nii.gz").data.astype(bool), mask
+    )
+
+
+def test_to_ras_flip_and_permute():
+    # LPS-oriented volume (flip x and y) must become RAS with same content
+    data = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    affine = np.diag([-1.0, -1.0, 1.0, 1.0])
+    img = NiftiImage(data=data, affine=affine)
+    assert orientation_codes(affine) == ("L", "P", "S")
+    ras = to_ras(img)
+    assert orientation_codes(ras.affine) == ("R", "A", "S")
+    np.testing.assert_array_equal(ras.data, data[::-1, ::-1, :])
+    # axis-permuted affine: data axes (z, x, y)
+    aff2 = np.zeros((4, 4)); aff2[3, 3] = 1
+    aff2[2, 0] = 1.0; aff2[0, 1] = 1.0; aff2[1, 2] = 1.0
+    ras2 = to_ras(NiftiImage(data=data, affine=aff2))
+    assert orientation_codes(ras2.affine) == ("R", "A", "S")
+    assert ras2.data.shape == (3, 4, 2)
+
+
+def test_scale_intensity_window():
+    img = np.array([-500.0, -175.0, 37.5, 250.0, 1000.0])
+    out = T.scale_intensity_range(img)
+    np.testing.assert_allclose(out, [0.0, 0.0, 0.5, 1.0, 1.0])
+
+
+def test_crop_foreground():
+    img = np.zeros((10, 10, 10), np.float32)
+    img[2:5, 3:7, 4:6] = 1.0
+    lab = np.ones_like(img)
+    ci, cl = T.crop_foreground(img, lab)
+    assert ci.shape == (3, 4, 2)
+    assert cl.shape == (3, 4, 2)
+    assert (ci > 0).all()
+
+
+def test_spacing_resample_shape():
+    vol = np.random.RandomState(2).rand(20, 20, 10).astype(np.float32)
+    out = T.spacing_resample(vol, (1.0, 1.0, 4.0), (1.5, 1.5, 2.0), order=1)
+    # 20*(1/1.5)=13.33 -> ~13, 10*(4/2)=20
+    assert abs(out.shape[0] - 13) <= 1
+    assert abs(out.shape[2] - 20) <= 1
+    lab = (vol > 0.5).astype(np.int16)
+    out_l = T.spacing_resample(lab, (1.0, 1.0, 4.0), (1.5, 1.5, 2.0), order=0)
+    assert set(np.unique(out_l)) <= {0, 1}
+
+
+def test_rand_crop_pos_neg_centers():
+    rng = np.random.default_rng(0)
+    img = np.ones((40, 40, 40), np.float32)
+    lab = np.zeros_like(img)
+    lab[10:14, 10:14, 10:14] = 1
+    crops = T.rand_crop_pos_neg(img, lab, rng, (16, 16, 16), pos=1, neg=0,
+                                num_samples=4)
+    for ci, cl in crops:
+        assert ci.shape == (16, 16, 16)
+        assert cl.sum() > 0  # pos-only sampling must include foreground
+
+
+def test_rand_crop_pads_small_volume():
+    rng = np.random.default_rng(1)
+    img = np.ones((8, 8, 8), np.float32)
+    lab = np.zeros_like(img); lab[4, 4, 4] = 1
+    (ci, cl), = T.rand_crop_pos_neg(img, lab, rng, (16, 16, 16))
+    assert ci.shape == (16, 16, 16)
+
+
+def _write_dataset(tmp_path, n=3, with_val=True):
+    rng = np.random.RandomState(3)
+    items = {"training": [], "validation": [], "test": []}
+    for i in range(n):
+        img = rng.randint(-200, 300, (24, 24, 18)).astype(np.int16)
+        lab = rng.randint(0, 3, (24, 24, 18)).astype(np.int16)
+        ip, lp = f"img_{i}.nii.gz", f"lab_{i}.nii.gz"
+        affine = np.diag([1.5, 1.5, 2.0, 1.0])
+        write_nifti(tmp_path / ip, img, affine)
+        write_nifti(tmp_path / lp, lab, affine)
+        items["training"].append({"image": ip, "label": lp})
+        if with_val:
+            items["validation"].append({"image": ip, "label": lp})
+        items["test"].append(ip)
+    with open(tmp_path / "dataset.json", "w") as f:
+        json.dump(items, f)
+    return tmp_path
+
+
+def test_decathlon_datalist(tmp_path):
+    root = _write_dataset(tmp_path)
+    train = load_decathlon_datalist(root / "dataset.json", True, "training")
+    assert len(train) == 3
+    assert train[0]["image"].endswith("img_0.nii.gz")
+    test = load_decathlon_datalist(root / "dataset.json", True, "test")
+    assert "label" not in test[0]
+    with pytest.raises(ValueError):
+        load_decathlon_datalist(root / "missing.json")
+    with pytest.raises(ValueError):
+        load_decathlon_datalist(root / "dataset.json", True, "nope")
+
+
+def test_class_names(tmp_path):
+    p = tmp_path / "classes.yaml"
+    p.write_text("0: background\n1: spleen\n2: kidney\n")
+    names = get_class_names(p)
+    assert list(names.keys()) == [1, 2]
+    with_bg = get_class_names(p, include_background=True)
+    assert list(with_bg.keys()) == [0, 1, 2]
+
+
+def test_cache_dataset_and_loaders(tmp_path):
+    root = _write_dataset(tmp_path)
+    train_items = load_decathlon_datalist(root / "dataset.json", True,
+                                          "training")
+    ds = CacheDataset(train_items, mode="train", num_workers=2)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["image"].dtype == np.float32
+    assert item["image"].min() >= 0.0 and item["image"].max() <= 1.0
+    assert "label" in item
+
+    loader = DataLoader(ds, batch_size=2, spatial_size=(16, 16, 16), seed=1)
+    batches = list(loader)
+    assert sum(b["image"].shape[0] for b in batches) == 3
+    b = batches[0]
+    assert b["image"].shape[1:] == (16, 16, 16, 1)
+    assert b["label"].shape[1:] == (16, 16, 16)
+
+    # epoch changes the sample stream deterministically
+    loader.set_epoch(1)
+    b1 = next(iter(loader))
+    loader.set_epoch(1)
+    b1_again = next(iter(loader))
+    np.testing.assert_array_equal(b1["image"], b1_again["image"])
+
+    val_items = load_decathlon_datalist(root / "dataset.json", True,
+                                        "validation")
+    val_ds = CacheDataset(val_items, mode="val", num_workers=2)
+    val_loader = DataLoader(val_ds)
+    vb = next(iter(val_loader))
+    assert vb["image"].shape[0] == 1 and vb["image"].shape[-1] == 1
+    assert vb["label"].shape[0] == 1
