@@ -52,14 +52,17 @@ def main():
     except Exception:
         flops_per_batch_step = float("nan")
 
-    # warmup / compile
-    sample(params, image, jax.random.key(2)).block_until_ready()
+    # warmup / compile. NOTE: under the axon relay block_until_ready can
+    # return before compute finishes; a host read of a result element is the
+    # only reliable completion barrier, so every timed iteration reads one.
+    out = sample(params, image, jax.random.key(2))
+    _ = float(out.ravel()[0])
 
-    n_iters = 10
+    n_iters = 5
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = sample(params, image, jax.random.key(3 + i))
-    out.block_until_ready()
+        _ = float(out.ravel()[0])
     elapsed = time.perf_counter() - t0
 
     window_steps = SW_BATCH * STEPS * n_iters

@@ -55,12 +55,20 @@ class DiffusionSegmenter:
 
     # ---- init ----
     def init(self, rng: jax.Array, image_shape: Sequence[int]) -> Params:
-        """Initialise parameters from an example image shape (N,D,H,W,1)."""
+        """Initialise parameters from an example image shape (N,D,H,W,1).
+
+        Runs under jit: one fused init program instead of hundreds of eager
+        initializer dispatches (~15x faster on TPU through the axon tunnel).
+        """
         n, d, h, w, _ = image_shape
-        image = jnp.zeros(image_shape, jnp.float32)
-        x = jnp.zeros((n, d, h, w, self.num_classes), jnp.float32)
-        t = jnp.zeros((n,), jnp.int32)
-        return self.module.init(rng, image, x, t)
+
+        def _init(key):
+            image = jnp.zeros(image_shape, jnp.float32)
+            x = jnp.zeros((n, d, h, w, self.num_classes), jnp.float32)
+            t = jnp.zeros((n,), jnp.int32)
+            return self.module.init(key, image, x, t)
+
+        return jax.jit(_init)(rng)
 
     # ---- the three pred_type paths ----
     def q_sample(
