@@ -1,0 +1,455 @@
+"""Engine / Trainer / Tester orchestration.
+
+Capability parity with the reference's Engine (engine.py:19-248), Trainer
+(train.py:29-327) and Tester (test.py:22-193):
+
+- Engine: config state, class names, composite criterion, label one-hot
+  conversion (engine.py:157-165), sliding-window whole-volume inference with
+  sigmoid+0.5 binarisation (engine.py:167-182), metric logging.
+- Trainer: AdamW + optional warmup-cosine schedule, epoch loop with jitted
+  train step (bf16 compute replaces AMP+GradScaler), NaN-loss abort
+  (train.py:240-241), validation every `val_freq` epochs with per-class dice
+  under the train.py:295-303 convention, best-checkpoint gate mean dice>0.5
+  (train.py:309-318), periodic `epoch_{n}` checkpoints (train.py:251-256),
+  resume with full state incl. run id (train.py:152-164), pretrained
+  encoder-subtree restore (train.py:166-176).
+- Tester: checkpoint loading (epoch-addressed), val-set sliding-window
+  inference, per-class dice/HD95 table, results pickle (test.py:101-193).
+
+TPU redesign: DataParallel/device_ids (train.py:136-138) is replaced by a
+("data","space") mesh — params replicated, batches sharded; the train step,
+q_sample, denoiser and loss are one compiled program.
+"""
+from __future__ import annotations
+
+import pickle
+import time
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diff_unet_tpu.api import DiffusionSegmenter
+from diff_unet_tpu.data import CacheDataset, DataLoader, get_class_names
+from diff_unet_tpu.data.datalist import load_decathlon_datalist
+from diff_unet_tpu.engine import checkpoint as ckpt_lib
+from diff_unet_tpu.engine.sliding_window import SlidingWindowInferer
+from diff_unet_tpu.engine.train import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from diff_unet_tpu.losses import CompositeLoss
+from diff_unet_tpu.metrics import hausdorff_distance_95, validation_dice
+from diff_unet_tpu.models.model_hub import (
+    ModelType,
+    create_model,
+    get_model_type,
+)
+from diff_unet_tpu.parallel import create_mesh, replicate, shard_batch
+from diff_unet_tpu.utils.logging import MetricLogger, ProgressMeter
+
+
+def convert_labels(labels: jnp.ndarray, class_ids: Sequence[int]
+                   ) -> jnp.ndarray:
+    """Integer label volume (N,D,H,W) -> one-hot float (N,D,H,W,C) over the
+    (possibly non-contiguous) class ids (engine.py:157-165 parity)."""
+    ids = jnp.asarray(list(class_ids))
+    return (labels[..., None] == ids).astype(jnp.float32)
+
+
+class Engine:
+    def __init__(
+        self,
+        model_name: str = "diff_unet",
+        data_name: str = "amos",
+        data_path: Optional[str] = None,
+        batch_size: int = 1,
+        sw_batch_size: int = 4,
+        overlap: float = 0.25,
+        image_size: int = 96,
+        spatial_size: int = 96,
+        noise_ratio: float = 0.5,
+        timesteps: int = 1000,
+        sample_steps: int = 10,
+        classes: Optional[str] = None,
+        num_workers: int = 2,
+        losses: str = "mse,bce,dice",
+        loss_combine: str = "sum",
+        model_path: Optional[str] = None,
+        project_name: Optional[str] = None,
+        wandb_name: Optional[str] = None,
+        include_background: bool = False,
+        label_smoothing: bool = False,
+        features=None,
+        smoothing_alpha: float = 0.3,
+        smoothing_order: float = 1.0,
+        lambda_decay: float = 1.0,
+        use_amp: bool = True,          # bf16 compute on TPU
+        use_cache: bool = True,
+        use_wandb: bool = False,
+        log_dir: str = "logs",
+        mode: str = "train",
+        seed: int = 123,
+        num_devices: Optional[int] = None,
+        spatial_shards: int = 1,
+        **_unused,
+    ) -> None:
+        self.model_name = model_name
+        self.model_type = get_model_type(model_name)
+        self.data_name = data_name
+        self.data_path = data_path
+        self.batch_size = batch_size
+        self.sw_batch_size = sw_batch_size
+        self.overlap = float(overlap)
+        self.image_size = image_size
+        self.spatial_size = spatial_size
+        self.noise_ratio = noise_ratio
+        self.timesteps = timesteps
+        self.sample_steps = sample_steps
+        self.class_names = (
+            get_class_names(classes, include_background)
+            if classes else {i + 1: str(i + 1) for i in range(13)}
+        )
+        self.num_classes = len(self.class_names)
+        self.losses = losses
+        self.loss_combine = loss_combine
+        self.model_path = model_path
+        self.project_name = project_name
+        self.include_background = include_background
+        self.label_smoothing = label_smoothing
+        self.smoothing_alpha = smoothing_alpha
+        self.smoothing_order = smoothing_order
+        self.lambda_decay = lambda_decay
+        self.num_workers = num_workers
+        self.use_cache = use_cache
+        self.mode = mode
+        self.seed = seed
+        self.global_step = 0
+        self.best_mean_dice = 0.0
+        self.loss = 0.0
+        self.epoch = 0
+        self.wandb_id = None
+
+        self.dtype = jnp.bfloat16 if use_amp else None
+
+        devices = jax.devices()
+        if num_devices is None:
+            # largest device count whose data axis divides the batch
+            num_devices = len(devices)
+            while (batch_size % max(num_devices // spatial_shards, 1) != 0
+                   or num_devices % spatial_shards != 0) and num_devices > 1:
+                num_devices -= 1
+        devices = devices[:num_devices]
+        self.mesh = create_mesh(devices, space=spatial_shards)
+
+        print(f"number of classes : {self.num_classes} "
+              + ("(including background)" if include_background
+                 else "(excluding background)"))
+
+        self.module = create_model(
+            model_name, out_channels=self.num_classes,
+            image_size=image_size, spatial_size=spatial_size,
+            noise_ratio=noise_ratio, features=features, dtype=self.dtype,
+        )
+        if self.model_type == ModelType.DIFFUSION:
+            self.seg = DiffusionSegmenter(
+                module=self.module, num_classes=self.num_classes,
+                timesteps=timesteps, sample_steps=sample_steps,
+            )
+        else:
+            self.seg = None
+
+        self.criterion = CompositeLoss(
+            losses, self.num_classes, loss_combine, include_background
+        ) if mode == "train" else None
+
+        self.logger = MetricLogger(
+            log_dir=str(Path(log_dir)), use_wandb=use_wandb,
+            project_name=project_name, run_name=wandb_name or log_dir,
+        )
+
+        self._inferer = SlidingWindowInferer(
+            roi=(spatial_size, image_size, image_size),
+            sw_batch_size=sw_batch_size, overlap=self.overlap,
+        )
+        self._infer_fn = None  # jitted lazily per volume shape
+
+    # ---- data ----
+    def set_dataloader(self) -> Dict[str, DataLoader]:
+        data_json = Path(self.data_path) / "dataset.json"
+        loaders: Dict[str, DataLoader] = {}
+        phases = (
+            [("train", "training"), ("val", "validation")]
+            if self.mode == "train" else [("val", "validation")]
+        )
+        for phase, key in phases:
+            items = load_decathlon_datalist(data_json, True, key)
+            if self.label_smoothing and phase == "train":
+                from diff_unet_tpu.data.label_smoothing import (
+                    LabelSmoothingCacheDataset,
+                )
+                ds = LabelSmoothingCacheDataset(
+                    items, num_classes=self.num_classes + 1,
+                    smoothing_alpha=self.smoothing_alpha,
+                    smoothing_order=self.smoothing_order,
+                    num_workers=max(self.num_workers, 4),
+                )
+            else:
+                ds = CacheDataset(items, mode=phase,
+                                  num_workers=max(self.num_workers, 4))
+            loaders[phase] = DataLoader(
+                ds,
+                batch_size=self.batch_size if phase == "train" else 1,
+                spatial_size=(self.spatial_size, self.image_size,
+                              self.image_size),
+                seed=self.seed,
+                # uniform batch shapes: one compiled step, even sharding
+                drop_last=(phase == "train"),
+            )
+        self.dataloader = loaders
+        return loaders
+
+    # ---- device-side label conversion ----
+    def convert_labels(self, labels: jnp.ndarray) -> jnp.ndarray:
+        if self.include_background:
+            return labels  # already one-hot channels from the pipeline
+        return convert_labels(labels, sorted(self.class_names.keys()))
+
+    # ---- inference (engine.py:167-182) ----
+    def infer(self, params, volume: jnp.ndarray, rng: jax.Array):
+        """volume (D,H,W,1) -> (logits, binary) both (D,H,W,C)."""
+        if self._infer_fn is None or self._infer_shape != volume.shape:
+            if self.model_type == ModelType.DIFFUSION:
+                def predictor_maker(p):
+                    return lambda w, r: self.seg.ddim_sample(p, w, r)
+            else:
+                def predictor_maker(p):
+                    return lambda w, r: self.module.apply(p, w)
+
+            def run(p, vol, r):
+                logits = self._inferer(
+                    predictor_maker(p), vol, r,
+                    out_channels=self.num_classes,
+                )
+                probs = jax.nn.sigmoid(logits)
+                return logits, (probs > 0.5).astype(jnp.float32)
+
+            self._infer_fn = jax.jit(run)
+            self._infer_shape = volume.shape
+        return self._infer_fn(params, volume, rng)
+
+
+class Trainer(Engine):
+    def __init__(
+        self,
+        max_epochs: int = 5000,
+        lr: float = 1e-4,
+        weight_decay: float = 1e-3,
+        scheduler: Optional[str] = None,
+        warmup_epochs: int = 100,
+        val_freq: int = 1,
+        save_freq: int = 5,
+        log_dir: str = "logs",
+        pretrained_path: Optional[str] = None,
+        **kwargs,
+    ) -> None:
+        super().__init__(mode="train", log_dir=log_dir, **kwargs)
+        self.max_epochs = max_epochs
+        self.lr = float(lr)
+        self.weight_decay = float(weight_decay)
+        self.scheduler = scheduler
+        self.warmup_epochs = warmup_epochs
+        self.val_freq = val_freq
+        self.save_freq = save_freq
+        self.log_dir = Path("logs") / log_dir
+        self.weights_path = self.log_dir / "weights"
+        self.weights_path.mkdir(parents=True, exist_ok=True)
+        self.start_epoch = 0
+
+        self.set_dataloader()
+        steps_per_epoch = max(len(self.dataloader["train"]), 1)
+        tx = make_optimizer(
+            lr=self.lr, weight_decay=self.weight_decay,
+            scheduler=("warmup_cosine" if scheduler else None),
+            warmup_epochs=warmup_epochs, max_epochs=max_epochs,
+            steps_per_epoch=steps_per_epoch,
+        )
+        shape = (self.batch_size, self.spatial_size, self.image_size,
+                 self.image_size, 1)
+        self.state = create_train_state(
+            self.seg, jax.random.key(self.seed), shape, tx
+        )
+        if self.model_path:
+            self.load_checkpoint(self.model_path)
+        elif pretrained_path:
+            self.load_pretrained_weights(pretrained_path)
+        self.state = replicate(self.state, self.mesh)
+
+        self._train_step = make_train_step(self.seg, self.criterion)
+        self._rng = jax.random.key(self.seed + 1)
+
+    # ---- checkpointing ----
+    def load_checkpoint(self, model_path: str) -> None:
+        self.state, meta = ckpt_lib.restore_checkpoint(model_path, self.state)
+        self.start_epoch = meta.get("epoch", 0)
+        self.global_step = meta.get("global_step", 0)
+        self.best_mean_dice = meta.get("best_mean_dice", 0.0)
+        self.noise_ratio = meta.get("noise_ratio", self.noise_ratio)
+        self.project_name = meta.get("project_name", self.project_name)
+        self.wandb_id = meta.get("id")
+        print(f"Checkpoint loaded from {model_path}")
+
+    def load_pretrained_weights(self, pretrained_path: str) -> None:
+        from diff_unet_tpu.utils.torch_import import load_pretrained_encoder
+        new_params = load_pretrained_encoder(
+            pretrained_path, self.state.params, model_name=self.model_name
+        )
+        self.state = self.state.replace(params=new_params)
+        print(f"Load pretrained weights from {pretrained_path}")
+
+    def save_model(self, save_path) -> None:
+        meta = {
+            "epoch": self.epoch + 1,
+            "loss": float(self.loss),
+            "noise_ratio": self.noise_ratio,
+            "global_step": self.global_step,
+            "best_mean_dice": float(self.best_mean_dice),
+            "project_name": self.project_name,
+            "id": self.logger.wandb_id,
+        }
+        ckpt_lib.save_checkpoint(save_path, self.state, meta)
+        print(f"model is saved in {save_path}")
+
+    # ---- loops ----
+    def train(self) -> None:
+        n_params = sum(
+            int(np.prod(p.shape))
+            for p in jax.tree_util.tree_leaves(self.state.params)
+        )
+        print(f"model parameters is {n_params * 4 / 1e6:.2f}M ")
+        for epoch in range(self.start_epoch, self.max_epochs):
+            self.epoch = epoch
+            self.train_epoch(epoch)
+            if (epoch + 1) % self.val_freq == 0:
+                dices = [
+                    self.validation_step(batch)
+                    for batch in self.dataloader["val"]
+                ]
+                self.validation_end(dices, epoch)
+
+    def train_epoch(self, epoch: int) -> None:
+        loader = self.dataloader["train"]
+        loader.set_epoch(epoch)
+        meter = ProgressMeter(len(loader), desc=f"Epoch {epoch}")
+        running = 0.0
+        count = 0
+        with self.mesh:
+            for batch in loader:
+                self.global_step += 1
+                device_batch = shard_batch(
+                    {
+                        "image": batch["image"],
+                        "label": np.asarray(
+                            self.convert_labels(jnp.asarray(batch["label"]))
+                        ) if not self.label_smoothing else batch["label"],
+                    },
+                    self.mesh,
+                )
+                self.state, metrics = self._train_step(
+                    self.state, device_batch, self._rng
+                )
+                loss = float(metrics["loss"])
+                if not np.isfinite(loss):
+                    raise RuntimeError(
+                        "Training stopped due to the loss being NaN"
+                    )
+                running += loss
+                count += 1
+                meter.update(loss=loss)
+        self.loss = running / max(count, 1)
+        self.logger.log({"loss": self.loss, "epoch": epoch},
+                        step=self.global_step)
+        if (epoch + 1) % self.save_freq == 0:
+            self.save_model(self.weights_path / f"epoch_{epoch + 1}")
+
+    def validation_step(self, batch) -> float:
+        image = jnp.asarray(batch["image"][0])          # (D,H,W,1)
+        labels = self.convert_labels(jnp.asarray(batch["label"]))[0]
+        _, outputs = self.infer(
+            self.state.params, image, jax.random.key(self.seed)
+        )
+        dices = validation_dice(outputs, labels)
+        return float(jnp.mean(dices))
+
+    def validation_end(self, dices, epoch: int) -> None:
+        mean_dice = float(np.mean(dices)) if dices else 0.0
+        if mean_dice > self.best_mean_dice:
+            self.best_mean_dice = mean_dice
+            if mean_dice > 0.5:
+                self.save_model(self.weights_path / f"best_{mean_dice:.4f}")
+        print(f"mean_dice : {mean_dice:.4f}")
+        self.logger.log({"mean_dice": mean_dice}, step=epoch)
+
+
+class Tester(Engine):
+    def __init__(self, epoch: Optional[int] = None, log_dir: str = "logs",
+                 **kwargs) -> None:
+        super().__init__(mode="test", log_dir=log_dir, **kwargs)
+        self.results = {"images": [], "outputs": [], "labels": [],
+                        "dices": [], "hd95s": [], "filenames": []}
+        shape = (1, self.spatial_size, self.image_size, self.image_size, 1)
+        tx = make_optimizer()
+        self.state = create_train_state(
+            self.seg, jax.random.key(self.seed), shape, tx
+        ) if self.seg else None
+        if self.model_path:
+            self.state, meta = ckpt_lib.restore_params(
+                self.model_path, self.state
+            )
+            self.epoch = meta.get("epoch", epoch or 0)
+        self.set_dataloader()
+        self.log_dir = Path("logs") / log_dir
+
+    def test(self) -> Dict:
+        for batch in self.dataloader["val"]:
+            self.validation_step(batch)
+        mean_dice = float(np.mean(self.results["dices"])) \
+            if self.results["dices"] else 0.0
+        print(self.logger.per_class_table(
+            self.class_names,
+            np.mean(self.results["dices"], axis=0)
+            if self.results["dices"] else [0.0] * self.num_classes,
+        ))
+        print(f"mean dice : {mean_dice:.4f}")
+        self.save_results()
+        return self.results
+
+    def validation_step(self, batch) -> None:
+        image = jnp.asarray(batch["image"][0])
+        labels = self.convert_labels(jnp.asarray(batch["label"]))[0]
+        _, outputs = self.infer(
+            self.state.params, image, jax.random.key(self.seed)
+        )
+        dices = np.asarray(validation_dice(outputs, labels))
+        out_np = np.asarray(outputs)
+        lab_np = np.asarray(labels)
+        hd95s = []
+        for c in range(self.num_classes):
+            o, l = out_np[..., c] > 0, lab_np[..., c] > 0
+            hd95s.append(
+                hausdorff_distance_95(o, l) if o.any() and l.any()
+                else float("nan")
+            )
+        self.results["dices"].append(dices)
+        self.results["hd95s"].append(hd95s)
+        self.results["filenames"].append(batch.get("filename", [None])[0])
+
+    def save_results(self) -> None:
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        path = self.log_dir / "results.pkl"
+        with open(path, "wb") as f:
+            pickle.dump(self.results, f)
+        print(f"results saved to {path}")

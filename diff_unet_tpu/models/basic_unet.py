@@ -48,6 +48,7 @@ class BasicUNetDenoiser(nn.Module):
     out_channels: int
     features: Sequence[int] = DEFAULT_FEATURES
     negative_slope: float = 0.1
+    norm: str = "instance"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -64,30 +65,31 @@ class BasicUNetDenoiser(nn.Module):
         if image is not None:
             x = jnp.concatenate([image, x], axis=-1)
 
-        x0 = TwoConv(fea[0], dtype=self.dtype, name="conv_0")(x, temb)
+        x0 = TwoConv(fea[0], norm=self.norm, dtype=self.dtype,
+                     name="conv_0")(x, temb)
         if embeddings is not None:
             x0 = x0 + embeddings[0]
-        x1 = Down(fea[1], dtype=self.dtype, name="down_1")(x0, temb)
+        x1 = Down(fea[1], norm=self.norm, dtype=self.dtype, name="down_1")(x0, temb)
         if embeddings is not None:
             x1 = x1 + embeddings[1]
-        x2 = Down(fea[2], dtype=self.dtype, name="down_2")(x1, temb)
+        x2 = Down(fea[2], norm=self.norm, dtype=self.dtype, name="down_2")(x1, temb)
         if embeddings is not None:
             x2 = x2 + embeddings[2]
-        x3 = Down(fea[3], dtype=self.dtype, name="down_3")(x2, temb)
+        x3 = Down(fea[3], norm=self.norm, dtype=self.dtype, name="down_3")(x2, temb)
         if embeddings is not None:
             x3 = x3 + embeddings[3]
-        x4 = Down(fea[4], dtype=self.dtype, name="down_4")(x3, temb)
+        x4 = Down(fea[4], norm=self.norm, dtype=self.dtype, name="down_4")(x3, temb)
         if embeddings is not None:
             x4 = x4 + embeddings[4]
 
-        u4 = UpCat(fea[3], fea[4] // 2, dtype=self.dtype,
+        u4 = UpCat(fea[3], fea[4] // 2, norm=self.norm, dtype=self.dtype,
                    name="upcat_4")(x4, x3, temb)
-        u3 = UpCat(fea[2], fea[3] // 2, dtype=self.dtype,
+        u3 = UpCat(fea[2], fea[3] // 2, norm=self.norm, dtype=self.dtype,
                    name="upcat_3")(u4, x2, temb)
-        u2 = UpCat(fea[1], fea[2] // 2, dtype=self.dtype,
+        u2 = UpCat(fea[1], fea[2] // 2, norm=self.norm, dtype=self.dtype,
                    name="upcat_2")(u3, x1, temb)
         # last stage: halves=False (denoiser.py:280)
-        u1 = UpCat(fea[5], fea[1], dtype=self.dtype,
+        u1 = UpCat(fea[5], fea[1], norm=self.norm, dtype=self.dtype,
                    name="upcat_1")(u2, x0, temb)
 
         logits = nn.Conv(self.out_channels, kernel_size=(1, 1, 1),

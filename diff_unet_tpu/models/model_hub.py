@@ -1,0 +1,94 @@
+"""Model factory + model-type enum.
+
+Capability parity with the reference's ModelHub
+(models/utils/model_hub.py:11-53) and ModelType/get_model_type
+(models/utils/model_type.py:3-6, utils.py:30-37): string -> module
+construction with per-model kwargs, and a type tag switching the train/infer
+behaviour (diffusion vs direct segmentation).
+"""
+from __future__ import annotations
+
+import enum
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+
+MODEL_NAMES = (
+    "diff_unet",
+    "smooth_diff_unet",
+    "diff_swin_unetr",
+    "attention_diff_unet",
+    "swin_unetr",
+    "attention_unet",
+)
+
+
+class ModelType(enum.Enum):
+    DIFFUSION = "diffusion"
+    SWIN_UNETR = "swin_unetr"
+    ATTENTION_UNET = "attention_unet"
+
+
+def get_model_type(model_name: str) -> ModelType:
+    assert model_name in MODEL_NAMES, model_name
+    if "diff" in model_name:
+        return ModelType.DIFFUSION
+    if model_name == "swin_unetr":
+        return ModelType.SWIN_UNETR
+    return ModelType.ATTENTION_UNET
+
+
+def parse_image_size(image_size: int, spatial_size: int
+                     ) -> Tuple[int, int, int]:
+    return (spatial_size, image_size, image_size)
+
+
+def create_model(
+    model_name: str,
+    *,
+    in_channels: int = 1,
+    out_channels: int,
+    image_size: int = 96,
+    spatial_size: int = 96,
+    noise_ratio: float = 0.5,
+    feature_size: int = 48,
+    features: Optional[Tuple[int, ...]] = None,
+    dtype: Optional[jnp.dtype] = None,
+    **_: Any,
+):
+    """Build a model module by name (model_hub.py:15-50 parity)."""
+    if model_name == "diff_unet":
+        from diff_unet_tpu.models.diff_unet import DiffUNet
+        kw = {"features": tuple(features)} if features else {}
+        return DiffUNet(out_channels=out_channels, in_channels=in_channels,
+                        dtype=dtype, **kw)
+    if model_name == "smooth_diff_unet":
+        from diff_unet_tpu.models.smooth_diff_unet import SmoothDiffUNet
+        kw = {"features": tuple(features)} if features else {}
+        return SmoothDiffUNet(
+            out_channels=out_channels, in_channels=in_channels,
+            image_size=image_size, spatial_size=spatial_size, dtype=dtype,
+            **kw,
+        )
+    if model_name == "attention_diff_unet":
+        from diff_unet_tpu.models.attention_diff_unet import AttentionDiffUNet
+        kw = {"features": tuple(features)} if features else {}
+        return AttentionDiffUNet(
+            out_channels=out_channels, in_channels=in_channels, dtype=dtype,
+            **kw,
+        )
+    if model_name == "diff_swin_unetr":
+        from diff_unet_tpu.models.swin_unetr import DiffSwinUNETR
+        return DiffSwinUNETR(
+            out_channels=out_channels, in_channels=in_channels,
+            image_size=parse_image_size(image_size, spatial_size),
+            feature_size=feature_size, noise_ratio=noise_ratio, dtype=dtype,
+        )
+    if model_name == "swin_unetr":
+        from diff_unet_tpu.models.swin_unetr import SwinUNETR
+        return SwinUNETR(
+            out_channels=out_channels, in_channels=in_channels,
+            image_size=parse_image_size(image_size, spatial_size),
+            feature_size=feature_size, dtype=dtype,
+        )
+    raise ValueError(f"Invalid model type: {model_name}")

@@ -85,11 +85,55 @@ class InstanceNorm(nn.Module):
         return y.astype(self.dtype or x.dtype)
 
 
+class BatchStatsNorm(nn.Module):
+    """Batch normalization computed from the current batch (no running
+    averages). Used where the reference uses torch BatchNorm3d
+    (models/attention_unet/attention_unet.py:44-59); in this functional
+    framework eval statistics come from the eval batch itself, keeping all
+    model state in `params` (documented deviation from torch's
+    running-mean/var eval mode)."""
+    epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        axes = tuple(range(x.ndim - 1))  # batch + spatial
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(self.dtype or x.dtype)
+
+
+def make_norm(norm: str, dtype, name: str = "norm") -> nn.Module:
+    if norm == "instance":
+        return InstanceNorm(dtype=dtype, name=name)
+    if norm == "layer":
+        return nn.LayerNorm(dtype=dtype, name=name)
+    if norm == "batch":
+        return BatchStatsNorm(dtype=dtype, name=name)
+    raise NotImplementedError(f"norm {norm}")
+
+
+def apply_act(x, act: str, negative_slope: float = 0.1):
+    if act == "leaky_relu":
+        return nn.leaky_relu(x, negative_slope=negative_slope)
+    if act == "relu":
+        return nn.relu(x)
+    raise NotImplementedError(f"act {act}")
+
+
 class ConvNormAct(nn.Module):
-    """Conv3D(k3, same, bias) -> InstanceNorm -> LeakyReLU(negative_slope)."""
+    """Conv3D(k3, same, bias) -> Norm -> Act (MONAI Convolution 'NDA')."""
     features: int
     negative_slope: float = 0.1
     kernel_size: int = 3
+    norm: str = "instance"
+    act: str = "leaky_relu"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -102,8 +146,8 @@ class ConvNormAct(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = InstanceNorm(dtype=self.dtype, name="norm")(x)
-        return nn.leaky_relu(x, negative_slope=self.negative_slope)
+        x = make_norm(self.norm, self.dtype)(x)
+        return apply_act(x, self.act, self.negative_slope)
 
 
 class TwoConv(nn.Module):
@@ -113,18 +157,22 @@ class TwoConv(nn.Module):
     features: int
     use_temb: bool = True
     negative_slope: float = 0.1
+    norm: str = "instance"
+    act: str = "leaky_relu"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         x = ConvNormAct(self.features, self.negative_slope,
+                        norm=self.norm, act=self.act,
                         dtype=self.dtype, name="conv_0")(x)
         if self.use_temb and temb is not None:
             proj = nn.Dense(self.features, dtype=self.dtype,
                             name="temb_proj")(swish(temb))
             x = x + proj[:, None, None, None, :].astype(x.dtype)
         x = ConvNormAct(self.features, self.negative_slope,
+                        norm=self.norm, act=self.act,
                         dtype=self.dtype, name="conv_1")(x)
         return x
 
@@ -134,12 +182,15 @@ class Down(nn.Module):
     features: int
     use_temb: bool = True
     negative_slope: float = 0.1
+    norm: str = "instance"
+    act: str = "leaky_relu"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, temb=None):
         x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
         return TwoConv(self.features, self.use_temb, self.negative_slope,
+                       norm=self.norm, act=self.act,
                        dtype=self.dtype, name="convs")(x, temb)
 
 
@@ -154,6 +205,8 @@ class UpCat(nn.Module):
     up_features: int       # channels after the deconv
     use_temb: bool = True
     negative_slope: float = 0.1
+    norm: str = "instance"
+    act: str = "leaky_relu"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -173,4 +226,5 @@ class UpCat(nn.Module):
                 x0 = jnp.pad(x0, pads, mode="edge")
             x0 = jnp.concatenate([x_skip, x0], axis=-1)
         return TwoConv(self.features, self.use_temb, self.negative_slope,
+                       norm=self.norm, act=self.act,
                        dtype=self.dtype, name="convs")(x0, temb)

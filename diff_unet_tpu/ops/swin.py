@@ -1,0 +1,340 @@
+"""3D (shifted-)window Swin transformer stack, channel-last, TPU-first.
+
+Capability parity with the reference's vendored+modified MONAI Swin stack
+(SURVEY.md #25):
+- WindowAttention with 3D relative position bias
+  (models/swin_unetr/attention.py:14-120),
+- window partition/reverse/get_window_size (attention.py:163-252),
+- shifted-window region masks (attention.py:123-160) — computed *statically
+  in numpy at trace time* per (resolution, window, shift) instead of on
+  device each forward (reference recomputes them per forward,
+  transformer.py:100),
+- SwinTransformerBlock norm->win-attn->residual->MLP (transformer.py:319-482),
+- BasicLayer with alternating no-shift/shift blocks + patch merging
+  (transformer.py:24-121),
+- PatchMerging (v0.9.0 semantics, duplicated-slice quirk preserved for
+  pretrained-weight compatibility) and PatchMergingV2 (patch.py:19-94),
+- conv PatchEmbed (patch_embed.py:23-64),
+- SwinTransformer with optional per-stage timestep injection
+  (transformer.py:124-316: x_stage += t_proj(swish(temb))) and non-affine
+  layer-norm `proj_out` stage outputs.
+
+All shapes are static under jit; masks and relative-position indices are
+numpy constants embedded in the compiled program.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+# ---------- static geometry helpers ----------
+
+def get_window_size(dims: Sequence[int], window_size: Sequence[int],
+                    shift_size: Optional[Sequence[int]] = None):
+    """Clamp window to the input size; zero the shift there
+    (attention.py:228-252)."""
+    ws = list(window_size)
+    ss = list(shift_size) if shift_size is not None else None
+    for i, d in enumerate(dims):
+        if d <= window_size[i]:
+            ws[i] = d
+            if ss is not None:
+                ss[i] = 0
+    return (tuple(ws), tuple(ss)) if ss is not None else tuple(ws)
+
+
+def window_partition(x: jnp.ndarray, ws: Sequence[int]) -> jnp.ndarray:
+    """(B, D, H, W, C) -> (B*nW, wd*wh*ww, C) (attention.py:163-193)."""
+    b, d, h, w, c = x.shape
+    x = x.reshape(b, d // ws[0], ws[0], h // ws[1], ws[1], w // ws[2],
+                  ws[2], c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(-1, ws[0] * ws[1] * ws[2], c)
+
+
+def window_reverse(windows: jnp.ndarray, ws: Sequence[int],
+                   dims: Sequence[int]) -> jnp.ndarray:
+    """Inverse of window_partition (attention.py:196-225)."""
+    b, d, h, w = dims
+    x = windows.reshape(b, d // ws[0], h // ws[1], w // ws[2],
+                        ws[0], ws[1], ws[2], -1)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, d, h, w, -1)
+
+
+@functools.lru_cache(maxsize=None)
+def compute_attn_mask(dims: Tuple[int, ...], ws: Tuple[int, ...],
+                      ss: Tuple[int, ...]) -> np.ndarray:
+    """Shifted-window region mask, (nW, N, N) float32 with 0 / -100
+    (attention.py:123-160), computed once in numpy per static geometry."""
+    d, h, w = dims
+    img_mask = np.zeros((1, d, h, w, 1), np.float32)
+    cnt = 0
+    for ds in (slice(-ws[0]), slice(-ws[0], -ss[0] or None),
+               slice(-ss[0] or d, None)):
+        for hs in (slice(-ws[1]), slice(-ws[1], -ss[1] or None),
+                   slice(-ss[1] or h, None)):
+            for wsl in (slice(-ws[2]), slice(-ws[2], -ss[2] or None),
+                        slice(-ss[2] or w, None)):
+                img_mask[:, ds, hs, wsl, :] = cnt
+                cnt += 1
+    # numpy window partition (must stay traceable-free: this runs inside
+    # jit tracing via the lru_cache as a pure compile-time constant)
+    m = img_mask.reshape(1, d // ws[0], ws[0], h // ws[1], ws[1],
+                         w // ws[2], ws[2], 1)
+    m = m.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    mw = m.reshape(-1, ws[0] * ws[1] * ws[2])       # (nW, N)
+    attn_mask = mw[:, None, :] - mw[:, :, None]
+    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def relative_position_index(ws: Tuple[int, ...]) -> np.ndarray:
+    """(N, N) index into the (2wd-1)(2wh-1)(2ww-1) bias table
+    (attention.py:56-88)."""
+    coords = np.stack(
+        np.meshgrid(*[np.arange(s) for s in ws], indexing="ij")
+    ).reshape(len(ws), -1)                          # (3, N)
+    rel = coords[:, :, None] - coords[:, None, :]   # (3, N, N)
+    rel = rel.transpose(1, 2, 0)
+    for i in range(3):
+        rel[:, :, i] += ws[i] - 1
+    rel[:, :, 0] *= (2 * ws[1] - 1) * (2 * ws[2] - 1)
+    rel[:, :, 1] *= 2 * ws[2] - 1
+    return rel.sum(-1)
+
+
+# ---------- modules ----------
+
+class WindowAttention(nn.Module):
+    """Windowed MHSA with learned relative position bias."""
+    dim: int
+    num_heads: int
+    window_size: Tuple[int, int, int]
+    qkv_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        b, n, c = x.shape
+        h = self.num_heads
+        head_dim = c // h
+        table_size = int(np.prod([2 * s - 1 for s in self.window_size]))
+        bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02), (table_size, h),
+        )
+        rpi = relative_position_index(tuple(self.window_size))[:n, :n]
+
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = jnp.einsum(
+            "bhnd,bhmd->bhnm", q * (head_dim ** -0.5), k,
+            preferred_element_type=jnp.float32,
+        )
+        rel_bias = bias_table[jnp.asarray(rpi.reshape(-1))]
+        rel_bias = rel_bias.reshape(n, n, h).transpose(2, 0, 1)
+        attn = attn + rel_bias[None].astype(attn.dtype)
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(b // nw, nw, h, n, n)
+            attn = attn + mask[None, :, None, :, :].astype(attn.dtype)
+            attn = attn.reshape(b, h, n, n)
+        attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                         preferred_element_type=jnp.float32).astype(q.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+
+class SwinMlp(nn.Module):
+    dim: int
+    mlp_ratio: float = 4.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                     name="fc1")(x)
+        h = nn.gelu(h)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+
+
+class SwinTransformerBlock(nn.Module):
+    """norm1 -> (shift) window attention -> +residual -> norm2 -> MLP
+    (transformer.py:319-482; drop-path/dropout rates are 0 in the live
+    config and therefore omitted)."""
+    dim: int
+    num_heads: int
+    window_size: Tuple[int, int, int]
+    shift_size: Tuple[int, int, int]
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, d, h, w, c = x.shape
+        ws, ss = get_window_size((d, h, w), self.window_size,
+                                 self.shift_size)
+        shortcut = x
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+
+        pad = [(0, 0)] + [
+            (0, (ws[i] - (d, h, w)[i] % ws[i]) % ws[i]) for i in range(3)
+        ] + [(0, 0)]
+        x = jnp.pad(x, pad)
+        dp, hp, wp = x.shape[1:4]
+
+        if any(s > 0 for s in ss):
+            x = jnp.roll(x, shift=tuple(-s for s in ss), axis=(1, 2, 3))
+            mask = jnp.asarray(compute_attn_mask((dp, hp, wp), ws, ss))
+        else:
+            mask = None
+        windows = window_partition(x, ws)
+        attn = WindowAttention(self.dim, self.num_heads, tuple(ws),
+                               self.qkv_bias, dtype=self.dtype,
+                               name="attn")(windows, mask)
+        x = window_reverse(attn, ws, (b, dp, hp, wp))
+        if any(s > 0 for s in ss):
+            x = jnp.roll(x, shift=tuple(ss), axis=(1, 2, 3))
+        x = x[:, :d, :h, :w, :]
+
+        x = shortcut + x
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        return x + SwinMlp(self.dim, self.mlp_ratio, dtype=self.dtype,
+                           name="mlp")(y)
+
+
+class PatchMerging(nn.Module):
+    """v0.9.0 'merging': 8-slice concat -> LayerNorm -> Linear(8c -> 2c).
+
+    Preserves the duplicated (0,1,0)/(0,0,1) slice quirk of the reference
+    (patch.py:69-94) so pretrained torch weights transfer numerically.
+    Set v2=True for the corrected PatchMergingV2 (patch.py:19-66).
+    """
+    dim: int
+    v2: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, d, h, w, c = x.shape
+        pad = [(0, 0), (0, d % 2), (0, h % 2), (0, w % 2), (0, 0)]
+        if any(p != (0, 0) for p in pad):
+            x = jnp.pad(x, pad)
+        if self.v2:
+            import itertools
+            parts = [
+                x[:, i::2, j::2, k::2, :]
+                for i, j, k in itertools.product(range(2), repeat=3)
+            ]
+        else:
+            idx = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
+                   (1, 0, 1), (0, 1, 0), (0, 0, 1), (1, 1, 1)]
+            parts = [x[:, i::2, j::2, k::2, :] for i, j, k in idx]
+        x = jnp.concatenate(parts, axis=-1)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
+                        name="reduction")(x)
+
+
+class PatchEmbed(nn.Module):
+    """Non-overlapping conv patch embedding (patch_embed.py:23-64)."""
+    embed_dim: int
+    patch_size: Tuple[int, int, int] = (2, 2, 2)
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(self.embed_dim, kernel_size=self.patch_size,
+                       strides=self.patch_size, padding="VALID",
+                       dtype=self.dtype, name="proj")(x)
+
+
+class BasicLayer(nn.Module):
+    """One Swin stage: `depth` blocks (alternating no-shift/shift) + merge
+    (transformer.py:24-121)."""
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: Tuple[int, int, int]
+    downsample: bool = True
+    merging_v2: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        shift = tuple(s // 2 for s in self.window_size)
+        for i in range(self.depth):
+            x = SwinTransformerBlock(
+                dim=self.dim, num_heads=self.num_heads,
+                window_size=tuple(self.window_size),
+                shift_size=(0, 0, 0) if i % 2 == 0 else shift,
+                dtype=self.dtype, name=f"blocks_{i}",
+            )(x)
+        if self.downsample:
+            x = PatchMerging(self.dim, v2=self.merging_v2, dtype=self.dtype,
+                             name="downsample")(x)
+        return x
+
+
+def _stage_layer_norm(x: jnp.ndarray) -> jnp.ndarray:
+    """Non-affine layer norm over channels (proj_out, transformer.py:258-271)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype)
+
+
+class SwinTransformer(nn.Module):
+    """4-stage Swin ViT returning all five stage outputs, with optional
+    per-stage timestep injection (transformer.py:124-316)."""
+    embed_dim: int
+    depths: Sequence[int] = (2, 2, 2, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window_size: Tuple[int, int, int] = (7, 7, 7)
+    patch_size: Tuple[int, int, int] = (2, 2, 2)
+    time_conditioned: bool = False
+    normalize: bool = True
+    merging_v2: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 temb: Optional[jnp.ndarray] = None) -> list[jnp.ndarray]:
+        from diff_unet_tpu.ops.blocks import swish
+
+        def t_add(h, i, dim):
+            if not self.time_conditioned or temb is None:
+                return h
+            proj = nn.Dense(dim, dtype=self.dtype,
+                            name=f"t_proj_{i}")(swish(temb))
+            return h + proj[:, None, None, None, :].astype(h.dtype)
+
+        x0 = PatchEmbed(self.embed_dim, tuple(self.patch_size),
+                        dtype=self.dtype, name="patch_embed")(x)
+        x0 = t_add(x0, 0, self.embed_dim)
+        outs = [_stage_layer_norm(x0) if self.normalize else x0]
+
+        h = x0
+        for i, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
+            dim = int(self.embed_dim * 2 ** i)
+            h = BasicLayer(
+                dim=dim, depth=depth, num_heads=heads,
+                window_size=tuple(self.window_size), downsample=True,
+                merging_v2=self.merging_v2, dtype=self.dtype,
+                name=f"layers{i + 1}",
+            )(h)
+            h = t_add(h, i + 1, dim * 2)
+            outs.append(_stage_layer_norm(h) if self.normalize else h)
+        return outs

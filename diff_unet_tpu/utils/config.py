@@ -30,15 +30,28 @@ class Config(dict):
         return self.get("__config_path__")
 
 
-def _coerce(value: str) -> Any:
-    """Parse a CLI override value using YAML scalar rules."""
-    return yaml.safe_load(value)
+def _coerce(value: Any) -> Any:
+    """Parse a scalar using YAML rules, plus scientific-notation floats
+    (YAML 1.1 reads `1e-3` as a string; the reference papers over this with
+    float() casts at use sites, e.g. train.py:96,121)."""
+    v = yaml.safe_load(value) if isinstance(value, str) else value
+    if isinstance(v, str):
+        try:
+            return int(v)
+        except ValueError:
+            pass
+        try:
+            return float(v)
+        except ValueError:
+            return v
+    return v
 
 
 def load_config(path, overrides: Optional[Sequence[str]] = None) -> Config:
     path = Path(path)
     with open(path) as f:
-        cfg = Config(yaml.safe_load(f) or {})
+        raw = yaml.safe_load(f) or {}
+    cfg = Config({k: _coerce(v) for k, v in raw.items()})
     cfg["__config_path__"] = str(path)
     for item in overrides or []:
         if "=" not in item:

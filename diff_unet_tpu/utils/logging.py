@@ -1,0 +1,152 @@
+"""Observability: metric logging, tables, image dumps.
+
+Capability parity with the reference's component #38 (SURVEY.md): wandb
+scalar logging with resume (engine.py:209-211), per-class dice tables
+(test.py:150-159), PrettyTable config dump (utils.py:260-264), tqdm-style
+progress (train.py:219-244), and PNG mid-slice dumps
+(light_training/utils/log_image.py:7-20) — with wandb strictly optional
+(gated import; the environment has no wandb) and a JSONL sink so every run
+is machine-readable without external services.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+
+def format_table(headers: Sequence[str], rows: Sequence[Sequence]) -> str:
+    """ASCII table (replaces the prettytable dependency, utils.py:260-264)."""
+    cells = [[str(h) for h in headers]] + [
+        [str(c) for c in row] for row in rows
+    ]
+    widths = [max(len(r[i]) for r in cells) for i in range(len(headers))]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    out = [sep]
+    for i, row in enumerate(cells):
+        out.append(
+            "|" + "|".join(f" {c:<{w}} " for c, w in zip(row, widths)) + "|"
+        )
+        if i == 0:
+            out.append(sep)
+    out.append(sep)
+    return "\n".join(out)
+
+
+class MetricLogger:
+    """Scalar/metric sink: stdout + JSONL file + optional wandb."""
+
+    def __init__(
+        self,
+        log_dir: Optional[str] = None,
+        *,
+        use_wandb: bool = False,
+        project_name: Optional[str] = None,
+        run_name: Optional[str] = None,
+        wandb_id: Optional[str] = None,
+        config: Optional[Dict] = None,
+    ) -> None:
+        self.log_dir = Path(log_dir) if log_dir else None
+        self._file = None
+        if self.log_dir:
+            self.log_dir.mkdir(parents=True, exist_ok=True)
+            self._file = open(self.log_dir / "metrics.jsonl", "a")
+        self._wandb = None
+        self.wandb_id = wandb_id or 0
+        if use_wandb:
+            try:
+                import wandb  # optional; absent in this environment
+                if wandb_id:
+                    self._wandb = wandb.init(
+                        project=project_name, id=wandb_id, resume=True
+                    )
+                else:
+                    self._wandb = wandb.init(
+                        project=project_name, name=run_name, config=config
+                    )
+                self.wandb_id = self._wandb.id
+            except Exception as e:  # pragma: no cover
+                print(f"[logger] wandb unavailable ({e}); falling back to "
+                      "stdout/jsonl", file=sys.stderr)
+
+    def log(self, metrics: Dict, step: Optional[int] = None) -> None:
+        record = {"time": time.time(), "step": step, **{
+            k: (float(v) if isinstance(v, (int, float, np.floating)) else v)
+            for k, v in metrics.items()
+        }}
+        if self._file:
+            self._file.write(json.dumps(record) + "\n")
+            self._file.flush()
+        if self._wandb is not None:  # pragma: no cover
+            self._wandb.log(metrics, step=step)
+
+    def log_scalar(self, key: str, value, step: Optional[int] = None):
+        self.log({key: value}, step)
+
+    def per_class_table(self, class_names: Dict[int, str],
+                        dices: Sequence[float],
+                        hd95s: Optional[Sequence[float]] = None) -> str:
+        headers = ["class", "dice"] + (["hd95"] if hd95s is not None else [])
+        rows = []
+        for i, (cid, name) in enumerate(class_names.items()):
+            row = [f"{cid}:{name}", f"{float(dices[i]):.4f}"]
+            if hd95s is not None:
+                row.append(f"{float(hd95s[i]):.2f}")
+            rows.append(row)
+        return format_table(headers, rows)
+
+    def save_midslice_png(self, path, image: np.ndarray,
+                          output: Optional[np.ndarray] = None,
+                          label: Optional[np.ndarray] = None,
+                          frac: float = 0.75) -> bool:
+        """Mid-slice overlay dump (engine.py:184-207 + vis.py renderer)."""
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:  # pragma: no cover
+            return False
+        idx = int(image.shape[0] * frac)
+        panels = [("image", image[idx], "gray")]
+        if output is not None:
+            panels.append(("output", output[idx], "viridis"))
+        if label is not None:
+            panels.append(("label", label[idx], "viridis"))
+        fig, axes = plt.subplots(1, len(panels), figsize=(4 * len(panels), 4))
+        axes = np.atleast_1d(axes)
+        for ax, (title, img2d, cmap) in zip(axes, panels):
+            ax.imshow(np.asarray(img2d), cmap=cmap)
+            ax.set_title(title)
+            ax.axis("off")
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+        return True
+
+    def close(self):
+        if self._file:
+            self._file.close()
+        if self._wandb is not None:  # pragma: no cover
+            self._wandb.finish()
+
+
+class ProgressMeter:
+    """Minimal tqdm replacement: rate + loss postfix on stdout."""
+
+    def __init__(self, total: int, desc: str = "", every: int = 10):
+        self.total = total
+        self.desc = desc
+        self.every = every
+        self.n = 0
+        self.t0 = time.time()
+
+    def update(self, **postfix) -> None:
+        self.n += 1
+        if self.n % self.every == 0 or self.n == self.total:
+            rate = self.n / max(time.time() - self.t0, 1e-9)
+            extras = " ".join(f"{k}={v:.4g}" for k, v in postfix.items())
+            print(f"{self.desc} [{self.n}/{self.total}] "
+                  f"{rate:.2f} it/s {extras}", flush=True)

@@ -1,0 +1,149 @@
+"""Pretrained torch checkpoint -> JAX params surgery.
+
+Capability parity with the reference's pretrained-weight loading
+(train.py:166-176): `encoder.pt` (HybridMIM BasicUNetEncoder state_dict)
+loads into the whole image encoder; `swinvit.pt` loads into the Swin ViT
+subtree only, following the name map of swin_unetr/denoiser.py:410-457 and
+transformer.py:437-469.
+
+Weight layout conversions (torch -> flax):
+- Conv3d   (out, in, kd, kh, kw) -> (kd, kh, kw, in, out)
+- Linear   (out, in)             -> (in, out)
+- InstanceNorm / LayerNorm weight/bias -> scale/bias
+"""
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch  # torch-cpu available in the environment
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: np.asarray(v.detach().cpu().numpy())
+            for k, v in obj.items() if hasattr(v, "detach")}
+
+
+def _conv_w(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+def _lin_w(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def _set(tree: Dict, path: str, value: np.ndarray) -> None:
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node[p]
+    old = node[parts[-1]]
+    assert tuple(old.shape) == tuple(value.shape), (
+        f"{path}: {old.shape} vs {value.shape}"
+    )
+    node[parts[-1]] = value.astype(np.float32)
+
+
+def _strip_module(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    return {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in sd.items()
+    }
+
+
+def map_two_conv(sd: Dict, prefix: str, tree: Dict, name: str) -> None:
+    """torch TwoConv (MONAI Convolution pairs) -> our TwoConv params."""
+    for j in (0, 1):
+        tp = f"{prefix}conv_{j}."
+        _set(tree, f"{name}/conv_{j}/conv/kernel", _conv_w(sd[tp + "conv.weight"]))
+        _set(tree, f"{name}/conv_{j}/conv/bias", sd[tp + "conv.bias"])
+        # MONAI ADN norm submodule is named adn.N
+        nw, nb = tp + "adn.N.weight", tp + "adn.N.bias"
+        if nw in sd:
+            _set(tree, f"{name}/conv_{j}/norm/scale", sd[nw])
+            _set(tree, f"{name}/conv_{j}/norm/bias", sd[nb])
+
+
+def map_basic_unet_encoder(sd: Dict[str, np.ndarray],
+                           enc_params: Dict) -> Dict:
+    """HybridMIM BasicUNetEncoder state_dict -> our BasicUNetEncoder params.
+
+    torch layout (models/basic_unet/pretrained/basic_unet.py:491-494):
+    conv_0.{conv_0,conv_1}.*, down.{0..3}.convs.{conv_0,conv_1}.*
+    """
+    sd = _strip_module(sd)
+    out = copy.deepcopy(enc_params)
+    map_two_conv(sd, "conv_0.", out, "conv_0")
+    for i in range(4):
+        map_two_conv(sd, f"down.{i}.convs.", out, f"down_{i + 1}/convs")
+    return out
+
+
+def map_swin_vit(sd: Dict[str, np.ndarray], swin_params: Dict) -> Dict:
+    """swinvit.pt state_dict -> our ops.swin.SwinTransformer params
+    (name map of swin_unetr/denoiser.py:410-457)."""
+    sd = _strip_module(sd)
+    out = copy.deepcopy(swin_params)
+    _set(out, "patch_embed/proj/kernel", _conv_w(sd["patch_embed.proj.weight"]))
+    _set(out, "patch_embed/proj/bias", sd["patch_embed.proj.bias"])
+    for i in range(1, 5):
+        layer = f"layers{i}"
+        n = 0
+        while f"{layer}.0.blocks.{n}.norm1.weight" in sd:
+            tb = f"{layer}.0.blocks.{n}."
+            blk = f"{layer}/blocks_{n}"
+            _set(out, f"{blk}/norm1/scale", sd[tb + "norm1.weight"])
+            _set(out, f"{blk}/norm1/bias", sd[tb + "norm1.bias"])
+            _set(out, f"{blk}/attn/relative_position_bias_table",
+                 sd[tb + "attn.relative_position_bias_table"])
+            _set(out, f"{blk}/attn/qkv/kernel", _lin_w(sd[tb + "attn.qkv.weight"]))
+            if tb + "attn.qkv.bias" in sd:
+                _set(out, f"{blk}/attn/qkv/bias", sd[tb + "attn.qkv.bias"])
+            _set(out, f"{blk}/attn/proj/kernel",
+                 _lin_w(sd[tb + "attn.proj.weight"]))
+            _set(out, f"{blk}/attn/proj/bias", sd[tb + "attn.proj.bias"])
+            _set(out, f"{blk}/norm2/scale", sd[tb + "norm2.weight"])
+            _set(out, f"{blk}/norm2/bias", sd[tb + "norm2.bias"])
+            for tname, oname in (("fc1", "fc1"), ("linear1", "fc1"),
+                                 ("fc2", "fc2"), ("linear2", "fc2")):
+                if tb + f"mlp.{tname}.weight" in sd:
+                    _set(out, f"{blk}/mlp/{oname}/kernel",
+                         _lin_w(sd[tb + f"mlp.{tname}.weight"]))
+                    _set(out, f"{blk}/mlp/{oname}/bias",
+                         sd[tb + f"mlp.{tname}.bias"])
+            n += 1
+        dp = f"{layer}.0.downsample."
+        if dp + "reduction.weight" in sd:
+            _set(out, f"{layer}/downsample/reduction/kernel",
+                 _lin_w(sd[dp + "reduction.weight"]))
+            _set(out, f"{layer}/downsample/norm/scale", sd[dp + "norm.weight"])
+            _set(out, f"{layer}/downsample/norm/bias", sd[dp + "norm.bias"])
+    return out
+
+
+def load_pretrained_encoder(path: str, params: Any,
+                            model_name: str = "diff_unet") -> Any:
+    """Graft pretrained torch weights into `params` following the
+    reference's dispatch (train.py:166-176)."""
+    sd = load_torch_state_dict(path)
+    params = copy.deepcopy(
+        {k: v for k, v in params.items()}
+    )
+    root = params["params"]
+    if str(path).endswith("swinvit.pt"):
+        root["embed_model"]["swinViT"] = map_swin_vit(
+            sd, root["embed_model"]["swinViT"]
+        )
+    elif model_name in ("diff_unet", "smooth_diff_unet"):
+        root["embed_model"] = map_basic_unet_encoder(
+            sd, root["embed_model"]
+        )
+    else:
+        raise NotImplementedError(
+            f"pretrained import for {model_name} from {path}"
+        )
+    return params

@@ -1,0 +1,121 @@
+"""End-to-end: synthetic dataset -> Trainer (train+val+ckpt) -> resume -> Tester."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from diff_unet_tpu.data.nifti import write_nifti
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data = root / "data"
+    data.mkdir()
+    rng = np.random.RandomState(0)
+    items = {"training": [], "validation": []}
+    affine = np.diag([1.5, 1.5, 2.0, 1.0])
+    for i in range(2):
+        img = rng.randint(-175, 250, (24, 24, 24)).astype(np.int16)
+        lab = np.zeros((24, 24, 24), np.int16)
+        lab[6:14, 6:14, 6:14] = 1
+        lab[14:20, 14:20, 14:20] = 2
+        write_nifti(data / f"img_{i}.nii.gz", img, affine)
+        write_nifti(data / f"lab_{i}.nii.gz", lab, affine)
+        entry = {"image": f"img_{i}.nii.gz", "label": f"lab_{i}.nii.gz"}
+        items["training"].append(entry)
+        items["validation"].append(entry)
+    with open(data / "dataset.json", "w") as f:
+        json.dump(items, f)
+    classes = root / "classes.yaml"
+    classes.write_text("0: background\n1: organ_a\n2: organ_b\n")
+    return root, data, classes
+
+
+COMMON = dict(
+    image_size=16, spatial_size=16, batch_size=2, sw_batch_size=2,
+    overlap=0.25, timesteps=100, sample_steps=2,
+    features=(4, 4, 8, 16, 32, 4), num_workers=2, use_amp=False,
+)
+
+
+def test_trainer_end_to_end(workspace, tmp_path, monkeypatch):
+    root, data, classes = workspace
+    monkeypatch.chdir(tmp_path)
+    from diff_unet_tpu.engine.engine import Trainer
+
+    trainer = Trainer(
+        model_name="diff_unet", data_path=str(data), classes=str(classes),
+        max_epochs=2, val_freq=2, save_freq=1, lr=1e-3,
+        scheduler="warmup_cosine", warmup_epochs=1,
+        log_dir="e2e", **COMMON,
+    )
+    assert trainer.num_classes == 2
+    trainer.train()
+    assert np.isfinite(trainer.loss)
+    # periodic checkpoints saved every epoch
+    assert (tmp_path / "logs/e2e/weights/epoch_1").exists()
+    assert (tmp_path / "logs/e2e/weights/epoch_2").exists()
+    assert trainer.global_step == 2 * len(trainer.dataloader["train"])
+
+    # resume restores epoch/global_step and keeps training
+    resumed = Trainer(
+        model_name="diff_unet", data_path=str(data), classes=str(classes),
+        max_epochs=3, val_freq=10, save_freq=10, lr=1e-3,
+        scheduler="warmup_cosine", warmup_epochs=1,
+        model_path=str(tmp_path / "logs/e2e/weights/epoch_2"),
+        log_dir="e2e-resume", **COMMON,
+    )
+    assert resumed.start_epoch == 2
+    resumed.train()  # runs epoch 2 only
+    assert resumed.global_step > trainer.global_step
+
+
+def test_tester_end_to_end(workspace, tmp_path, monkeypatch):
+    root, data, classes = workspace
+    monkeypatch.chdir(tmp_path)
+    from diff_unet_tpu.engine.engine import Trainer, Tester
+
+    trainer = Trainer(
+        model_name="diff_unet", data_path=str(data), classes=str(classes),
+        max_epochs=1, val_freq=10, save_freq=1, lr=1e-3,
+        log_dir="t", **COMMON,
+    )
+    trainer.train()
+
+    tester = Tester(
+        model_name="diff_unet", data_path=str(data), classes=str(classes),
+        model_path=str(tmp_path / "logs/t/weights/epoch_1"),
+        log_dir="t", **COMMON,
+    )
+    results = tester.test()
+    assert len(results["dices"]) == 2
+    assert len(results["hd95s"]) == 2
+    assert (tmp_path / "logs/t/results.pkl").exists()
+    d = np.asarray(results["dices"])
+    assert d.shape == (2, 2)
+    assert np.all((d >= 0) & (d <= 1))
+
+
+def test_config_cli_parsing(tmp_path):
+    from diff_unet_tpu.utils.config import load_config, parse_args
+    cfg_file = tmp_path / "c.yaml"
+    cfg_file.write_text("lr: 5e-4\nmodel_name: diff_unet\nscheduler: true\n")
+    cfg = load_config(cfg_file, overrides=["lr=1e-3", "max_epochs=10"])
+    assert cfg.lr == 1e-3
+    assert cfg.max_epochs == 10
+    assert cfg.model_name == "diff_unet"
+
+    parsed = parse_args(["--config", str(cfg_file), "lr=2e-3"], quiet=True)
+    assert parsed.lr == 2e-3
+
+
+def test_repo_cfgs_parse():
+    from diff_unet_tpu.utils.config import load_config
+    base = os.path.join(os.path.dirname(__file__), "..")
+    for ds in ("amos", "btcv", "msd"):
+        for kind in ("train", "test"):
+            cfg = load_config(os.path.join(base, f"cfg/{ds}/{kind}.yaml"))
+            assert "model_name" in cfg
+            assert cfg.image_size == 96
