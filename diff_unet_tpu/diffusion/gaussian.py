@@ -316,3 +316,54 @@ def uniform_timesteps(rng: jax.Array, batch: int, num_timesteps: int):
     """
     t = jax.random.randint(rng, (batch,), 0, num_timesteps)
     return t, jnp.ones((batch,), jnp.float32)
+
+
+def prior_bpd(schedule: Schedule, x_start: jnp.ndarray) -> jnp.ndarray:
+    """Prior KL(q(x_T|x_0) || N(0,1)) in bits/dim (gaussian_diffusion.py:828-845)."""
+    t = jnp.full((x_start.shape[0],), schedule.num_timesteps - 1, jnp.int32)
+    mean, _, log_var = q_mean_variance(schedule, x_start, t)
+    kl = normal_kl(mean, log_var, 0.0, 0.0)
+    return mean_flat(kl) / math.log(2.0)
+
+
+def calc_bpd_loop(
+    denoise_fn: DenoiseFn,
+    schedule: Schedule,
+    x_start: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    mean_type: str = START_X,
+    var_type: str = FIXED_LARGE,
+    clip_denoised: bool = True,
+):
+    """Total bits/dim over the whole chain (gaussian_diffusion.py:846-902),
+    as a `lax.scan` over timesteps instead of a Python loop with per-step
+    host transfers. Returns total_bpd, prior_bpd, per-step vb/mse arrays."""
+    b = x_start.shape[0]
+
+    def body(carry, t_scalar):
+        t = jnp.full((b,), t_scalar, jnp.int32)
+        step_rng = jax.random.fold_in(rng, t_scalar)
+        noise = jax.random.normal(step_rng, x_start.shape, x_start.dtype)
+        x_t = q_sample(schedule, x_start, t, noise)
+        vb = vb_terms_bpd(
+            denoise_fn, schedule, x_start, x_t, t,
+            mean_type=mean_type, var_type=var_type,
+            clip_denoised=clip_denoised,
+        )
+        eps = predict_eps_from_xstart(schedule, x_t, t, vb["pred_xstart"])
+        mse = mean_flat(jnp.square(eps - noise))
+        xstart_mse = mean_flat(jnp.square(vb["pred_xstart"] - x_start))
+        return carry, (vb["output"], xstart_mse, mse)
+
+    ts = jnp.arange(schedule.num_timesteps - 1, -1, -1, dtype=jnp.int32)
+    _, (vb, xstart_mse, mse) = jax.lax.scan(body, None, ts)
+    prior = prior_bpd(schedule, x_start)
+    total = jnp.sum(vb, axis=0) + prior
+    return {
+        "total_bpd": total,
+        "prior_bpd": prior,
+        "vb": vb.T,            # (B, T) newest-first like the scan order
+        "xstart_mse": xstart_mse.T,
+        "mse": mse.T,
+    }

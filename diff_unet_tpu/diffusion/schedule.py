@@ -150,22 +150,27 @@ class Schedule:
 
         fl_var = np.append(post_var[1], betas[1:])
 
-        fields = dict(
-            alphas_cumprod=ac,
-            alphas_cumprod_prev=ac_prev,
-            alphas_cumprod_next=ac_next,
-            sqrt_alphas_cumprod=np.sqrt(ac),
-            sqrt_one_minus_alphas_cumprod=np.sqrt(1.0 - ac),
-            log_one_minus_alphas_cumprod=np.log(1.0 - ac),
-            sqrt_recip_alphas_cumprod=np.sqrt(1.0 / ac),
-            sqrt_recipm1_alphas_cumprod=np.sqrt(1.0 / ac - 1.0),
-            posterior_variance=post_var,
-            posterior_log_variance_clipped=post_log_var,
-            posterior_mean_coef1=betas * np.sqrt(ac_prev) / (1.0 - ac),
-            posterior_mean_coef2=(1.0 - ac_prev) * np.sqrt(alphas) / (1.0 - ac),
-            fixed_large_variance=fl_var,
-            fixed_large_log_variance=np.log(fl_var),
-        )
+        # betas may reach 1.0 for very short linear schedules (scale*0.02);
+        # the reciprocal tables are then inf at the last step, matching the
+        # reference's float64 numpy behaviour — silence the warning only.
+        with np.errstate(divide="ignore"):
+            fields = dict(
+                alphas_cumprod=ac,
+                alphas_cumprod_prev=ac_prev,
+                alphas_cumprod_next=ac_next,
+                sqrt_alphas_cumprod=np.sqrt(ac),
+                sqrt_one_minus_alphas_cumprod=np.sqrt(1.0 - ac),
+                log_one_minus_alphas_cumprod=np.log(1.0 - ac),
+                sqrt_recip_alphas_cumprod=np.sqrt(1.0 / ac),
+                sqrt_recipm1_alphas_cumprod=np.sqrt(1.0 / ac - 1.0),
+                posterior_variance=post_var,
+                posterior_log_variance_clipped=post_log_var,
+                posterior_mean_coef1=betas * np.sqrt(ac_prev) / (1.0 - ac),
+                posterior_mean_coef2=(1.0 - ac_prev) * np.sqrt(alphas)
+                / (1.0 - ac),
+                fixed_large_variance=fl_var,
+                fixed_large_log_variance=np.log(fl_var),
+            )
         for k, v in fields.items():
             object.__setattr__(self, k, v)
 

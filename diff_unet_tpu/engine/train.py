@@ -68,12 +68,23 @@ def make_optimizer(
     warmup_epochs: int = 100,
     max_epochs: int = 5000,
     steps_per_epoch: int = 1,
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
-    """AdamW (train.py:121) with optional warmup-cosine schedule."""
+    """AdamW (train.py:121) with optional warmup-cosine schedule.
+
+    `accum_steps > 1` enables gradient accumulation (microbatching): the
+    TPU-native equivalent of the vendored TrainLoop's microbatch +
+    DDP `no_sync` accumulation (guided_diffusion/train_util.py:22-255) —
+    under pjit, skipped-update steps simply don't apply grads; there is no
+    comm to suppress because the all-reduce is compiler-scheduled.
+    """
     if scheduler in ("cosine_annealing", "warmup_cosine", "cosine"):
         lr = linear_warmup_cosine(lr, warmup_epochs, max_epochs,
                                   steps_per_epoch)
-    return optax.adamw(learning_rate=lr, weight_decay=weight_decay)
+    tx = optax.adamw(learning_rate=lr, weight_decay=weight_decay)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
 
 
 def create_train_state(

@@ -177,3 +177,23 @@ def test_cache_dataset_and_loaders(tmp_path):
     vb = next(iter(val_loader))
     assert vb["image"].shape[0] == 1 and vb["image"].shape[-1] == 1
     assert vb["label"].shape[0] == 1
+
+
+def test_legacy_base_dataset(tmp_path):
+    from diff_unet_tpu.data.base_dataset import AMOSDataset
+    rng = np.random.RandomState(5)
+    img = rng.rand(6, 7, 8).astype(np.float32)
+    lab = rng.randint(0, 3, (6, 7, 8)).astype(np.int16)
+    write_nifti(tmp_path / "i.nii.gz", img)
+    write_nifti(tmp_path / "l.nii.gz", lab)
+    ds = AMOSDataset([(str(tmp_path / "i.nii.gz"), str(tmp_path / "l.nii.gz"))],
+                     pad=2, mode="test")
+    item, path = ds[0]
+    # (H=6,W=7,D=8) + pad 2 on D -> transpose -> (12, 7, 6, 1)
+    assert item["image"].shape == (12, 7, 6, 1)
+    assert item["label"].shape == (12, 7, 6, 1)
+    assert "raw_label" in item
+    assert path.endswith("i.nii.gz")
+    # cached: same object back
+    item2, _ = ds[0]
+    assert item2 is item
