@@ -139,6 +139,11 @@ def _surface_distances(
     r_border = result ^ _ndi.binary_erosion(result, conn, border_value=0)
     ref_border = reference ^ _ndi.binary_erosion(reference, conn,
                                                  border_value=0)
+    if reference.ndim == 3:
+        from diff_unet_tpu import native
+        dt = native.distance_transform_edt(~ref_border, voxelspacing)
+        if dt is not None:
+            return dt[r_border]
     dt = _ndi.distance_transform_edt(~ref_border, sampling=voxelspacing)
     return dt[r_border]
 
