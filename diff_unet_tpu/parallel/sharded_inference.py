@@ -1,0 +1,125 @@
+"""Multi-chip whole-volume inference: windows sharded over the mesh.
+
+The TPU-native scale-out of sliding-window inference (SURVEY.md §2.2
+"sequence/context parallel" row, and the DataParallel window batching of
+engine.py:173): every device runs the batched DDIM scan over a *disjoint
+subset of windows* of the (replicated) volume and scatter-adds predictions
+into a local accumulator; a single `psum` over ICI merges the stitch.
+Embarrassingly parallel with one collective — no per-call replica
+gather/scatter, no host round-trips.
+
+Works on any ("data", ...) mesh; validated on the virtual 8-device CPU mesh
+against the single-device inferer (bitwise-equal stitching given the same
+per-window rng discipline).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from diff_unet_tpu.engine.sliding_window import SlidingWindowInferer
+
+
+def make_sharded_inferer(
+    inferer: SlidingWindowInferer,
+    mesh: Mesh,
+    predictor: Callable,   # (params, windows (sw,*roi,Cin), rng) -> (sw,*roi,C)
+    out_channels: int,
+    volume_shape,          # static (D, H, W, Cin)
+    axis: str = "data",
+):
+    """Build a jitted f(params, volume, rng) -> (D,H,W,C) stitched logits."""
+    n_dev = mesh.shape[axis]
+    rd, rh, rw = inferer.roi
+    d, h, w, cin = volume_shape
+    pad_shape = tuple(max(r, s) for r, s in zip(inferer.roi, (d, h, w)))
+
+    starts_np, valid_np = inferer._geometry(pad_shape)
+    # flatten window batches, then pad to a multiple of n_dev * sw
+    starts = starts_np.reshape(-1, 3)
+    valid = valid_np.reshape(-1)
+    sw = inferer.sw_batch_size
+    per_dev_batches = -(-len(starts) // (n_dev * sw))
+    total = per_dev_batches * n_dev * sw
+    pad = total - len(starts)
+    starts = np.concatenate([starts, np.zeros((pad, 3), np.int32)])
+    valid = np.concatenate([valid, np.zeros(pad, np.float32)])
+    # device-major layout: (n_dev, per_dev_batches, sw, ...)
+    starts = starts.reshape(n_dev, per_dev_batches, sw, 3)
+    valid = valid.reshape(n_dev, per_dev_batches, sw)
+
+    imp = inferer.importance()[..., None]  # (*roi, 1)
+
+    def local(params, volume, starts_l, valid_l, rng):
+        """Runs on one device: its window subset -> local partial stitch."""
+        starts_l = starts_l[0]   # shard_map adds the device-sharded dim
+        valid_l = valid_l[0]
+        out_shape = (*pad_shape, out_channels)
+        accum = jnp.zeros(out_shape, jnp.float32)
+        weight = jnp.zeros((*pad_shape, 1), jnp.float32)
+        imp_j = jnp.asarray(imp)
+
+        def gather(s):
+            return jax.lax.dynamic_slice(
+                volume, (s[0], s[1], s[2], 0), (rd, rh, rw, cin)
+            )
+
+        def body(carry, inputs):
+            acc, wgt = carry
+            b_starts, b_valid = inputs
+            windows = jax.vmap(gather)(b_starts)
+            # rng folded per unique window start so padded duplicates and
+            # device layout don't change the noise a window receives
+            batch_rng = jax.random.fold_in(
+                rng, b_starts[0, 0] * 73856093 ^ b_starts[0, 1] * 19349663
+                ^ b_starts[0, 2] * 83492791
+            )
+            preds = predictor(params, windows, batch_rng)
+            preds = preds.astype(jnp.float32)
+
+            def scatter_one(j, aw):
+                acc_, wgt_ = aw
+                s = b_starts[j]
+                w_map = imp_j * b_valid[j]
+                idx = (s[0], s[1], s[2], 0)
+                cur = jax.lax.dynamic_slice(
+                    acc_, idx, (rd, rh, rw, out_channels))
+                acc_ = jax.lax.dynamic_update_slice(
+                    acc_, cur + preds[j] * w_map, idx)
+                curw = jax.lax.dynamic_slice(
+                    wgt_, idx[:3] + (0,), (rd, rh, rw, 1))
+                wgt_ = jax.lax.dynamic_update_slice(
+                    wgt_, curw + w_map, idx[:3] + (0,))
+                return acc_, wgt_
+
+            acc, wgt = jax.lax.fori_loop(0, sw, scatter_one, (acc, wgt))
+            return (acc, wgt), None
+
+        (accum, weight), _ = jax.lax.scan(
+            body, (accum, weight), (starts_l, valid_l)
+        )
+        accum = jax.lax.psum(accum, axis)
+        weight = jax.lax.psum(weight, axis)
+        return jnp.where(weight > 0, accum / weight, 0.0)
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def run(params, volume, rng):
+        pads = [(0, p - s) for p, s in zip(pad_shape, (d, h, w))]
+        if any(x != (0, 0) for x in pads):
+            volume = jnp.pad(volume, pads + [(0, 0)])
+        out = sharded(params, volume, jnp.asarray(starts),
+                      jnp.asarray(valid), rng)
+        return out[:d, :h, :w, :]
+
+    return jax.jit(run)
