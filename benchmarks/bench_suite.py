@@ -56,7 +56,8 @@ def bench_ddim(module, swb, steps=10, tag=""):
 
 def bench_train_step(batch_size=2):
     seg = DiffusionSegmenter(
-        module=DiffUNet(out_channels=C, dtype=jnp.bfloat16), num_classes=C
+        module=DiffUNet(out_channels=C, remat=True, dtype=jnp.bfloat16),
+        num_classes=C,
     )
     shape = (batch_size, 96, 96, 96, 1)
     state = create_train_state(seg, jax.random.key(0), shape,

@@ -152,7 +152,8 @@ class Engine:
         self.module = create_model(
             model_name, out_channels=self.num_classes,
             image_size=image_size, spatial_size=spatial_size,
-            noise_ratio=noise_ratio, features=features, dtype=self.dtype,
+            noise_ratio=noise_ratio, features=features,
+            remat=(mode == "train"), dtype=self.dtype,
         )
         if self.model_type == ModelType.DIFFUSION:
             self.seg = DiffusionSegmenter(

@@ -106,6 +106,7 @@ def make_train_step(
     *,
     model_type: str = "diffusion",
     donate: bool = True,
+    remat: bool = True,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -115,6 +116,18 @@ def make_train_step(
     train.py:261-268: x_start = labels*2-1; x_t,t ~ q_sample; preds =
     denoise(x_t, t | image); loss = criterion(preds, labels).
     """
+
+    # NOTE on memory: activation rematerialisation is block-level, inside
+    # the model modules (`remat=True` on DiffUNet etc.) — the TPU idiom
+    # replacing the reference's torch gradient-checkpointing flag
+    # (transformer.py:473-481). Whole-function jax.checkpoint here would
+    # not reduce the backward peak.
+    if model_type == "diffusion":
+        def forward(params, image, x_t, t):
+            return seg.module.apply(params, image, x_t, t, method="denoise")
+    else:
+        def forward(params, image, x_t, t):
+            return seg.module.apply(params, image)
 
     def loss_fn(params, batch, rng):
         image = batch["image"]
@@ -127,9 +140,9 @@ def make_train_step(
             )
             noise = jax.random.normal(n_rng, x_start.shape, x_start.dtype)
             x_t = gaussian.q_sample(seg.train_schedule, x_start, t, noise)
-            preds = seg.module.apply(params, image, x_t, t, method="denoise")
+            preds = forward(params, image, x_t, t)
         else:
-            preds = seg.module.apply(params, image)
+            preds = forward(params, image, None, None)
         loss = criterion(
             preds.astype(jnp.float32), labels, batch.get("dist_maps")
         )

@@ -28,17 +28,22 @@ class BasicUNetEncoder(nn.Module):
     """Five-level conv encoder; returns the list of all level feature maps."""
     features: Sequence[int] = DEFAULT_FEATURES
     negative_slope: float = 0.1
+    remat: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> list[jnp.ndarray]:
         fea = tuple(self.features)
-        outs = [TwoConv(fea[0], use_temb=False, dtype=self.dtype,
-                        name="conv_0")(x)]
+        # block-level rematerialisation: only stage outputs are saved for
+        # the backward pass (96^3 batches do not fit 16G HBM otherwise)
+        TC = nn.remat(TwoConv) if self.remat else TwoConv
+        Dn = nn.remat(Down) if self.remat else Down
+        outs = [TC(fea[0], use_temb=False, dtype=self.dtype,
+                   name="conv_0")(x)]
         for i in range(4):
             outs.append(
-                Down(fea[i + 1], use_temb=False, dtype=self.dtype,
-                     name=f"down_{i + 1}")(outs[-1])
+                Dn(fea[i + 1], use_temb=False, dtype=self.dtype,
+                   name=f"down_{i + 1}")(outs[-1])
             )
         return outs
 
@@ -49,6 +54,7 @@ class BasicUNetDenoiser(nn.Module):
     features: Sequence[int] = DEFAULT_FEATURES
     negative_slope: float = 0.1
     norm: str = "instance"
+    remat: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -60,36 +66,39 @@ class BasicUNetDenoiser(nn.Module):
         image: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         fea = tuple(self.features)
+        TwoConvB = nn.remat(TwoConv) if self.remat else TwoConv
+        DownB = nn.remat(Down) if self.remat else Down
+        UpCatB = nn.remat(UpCat) if self.remat else UpCat
         temb = TimestepEmbedder(dtype=self.dtype, name="temb")(t)
 
         if image is not None:
             x = jnp.concatenate([image, x], axis=-1)
 
-        x0 = TwoConv(fea[0], norm=self.norm, dtype=self.dtype,
+        x0 = TwoConvB(fea[0], norm=self.norm, dtype=self.dtype,
                      name="conv_0")(x, temb)
         if embeddings is not None:
             x0 = x0 + embeddings[0]
-        x1 = Down(fea[1], norm=self.norm, dtype=self.dtype, name="down_1")(x0, temb)
+        x1 = DownB(fea[1], norm=self.norm, dtype=self.dtype, name="down_1")(x0, temb)
         if embeddings is not None:
             x1 = x1 + embeddings[1]
-        x2 = Down(fea[2], norm=self.norm, dtype=self.dtype, name="down_2")(x1, temb)
+        x2 = DownB(fea[2], norm=self.norm, dtype=self.dtype, name="down_2")(x1, temb)
         if embeddings is not None:
             x2 = x2 + embeddings[2]
-        x3 = Down(fea[3], norm=self.norm, dtype=self.dtype, name="down_3")(x2, temb)
+        x3 = DownB(fea[3], norm=self.norm, dtype=self.dtype, name="down_3")(x2, temb)
         if embeddings is not None:
             x3 = x3 + embeddings[3]
-        x4 = Down(fea[4], norm=self.norm, dtype=self.dtype, name="down_4")(x3, temb)
+        x4 = DownB(fea[4], norm=self.norm, dtype=self.dtype, name="down_4")(x3, temb)
         if embeddings is not None:
             x4 = x4 + embeddings[4]
 
-        u4 = UpCat(fea[3], fea[4] // 2, norm=self.norm, dtype=self.dtype,
+        u4 = UpCatB(fea[3], fea[4] // 2, norm=self.norm, dtype=self.dtype,
                    name="upcat_4")(x4, x3, temb)
-        u3 = UpCat(fea[2], fea[3] // 2, norm=self.norm, dtype=self.dtype,
+        u3 = UpCatB(fea[2], fea[3] // 2, norm=self.norm, dtype=self.dtype,
                    name="upcat_3")(u4, x2, temb)
-        u2 = UpCat(fea[1], fea[2] // 2, norm=self.norm, dtype=self.dtype,
+        u2 = UpCatB(fea[1], fea[2] // 2, norm=self.norm, dtype=self.dtype,
                    name="upcat_2")(u3, x1, temb)
         # last stage: halves=False (denoiser.py:280)
-        u1 = UpCat(fea[5], fea[1], norm=self.norm, dtype=self.dtype,
+        u1 = UpCatB(fea[5], fea[1], norm=self.norm, dtype=self.dtype,
                    name="upcat_1")(u2, x0, temb)
 
         logits = nn.Conv(self.out_channels, kernel_size=(1, 1, 1),

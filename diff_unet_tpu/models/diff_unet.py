@@ -29,15 +29,16 @@ class DiffUNet(nn.Module):
     out_channels: int
     in_channels: int = 1
     features: Sequence[int] = DEFAULT_FEATURES
+    remat: bool = False   # block-level activation rematerialisation
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.embed_model = BasicUNetEncoder(
-            features=self.features, dtype=self.dtype
+            features=self.features, remat=self.remat, dtype=self.dtype
         )
         self.model = BasicUNetDenoiser(
             out_channels=self.out_channels, features=self.features,
-            dtype=self.dtype,
+            remat=self.remat, dtype=self.dtype,
         )
 
     def __call__(self, image, x, t):

@@ -53,6 +53,7 @@ def create_model(
     noise_ratio: float = 0.5,
     feature_size: int = 48,
     features: Optional[Tuple[int, ...]] = None,
+    remat: bool = False,
     dtype: Optional[jnp.dtype] = None,
     **_: Any,
 ):
@@ -61,7 +62,7 @@ def create_model(
         from diff_unet_tpu.models.diff_unet import DiffUNet
         kw = {"features": tuple(features)} if features else {}
         return DiffUNet(out_channels=out_channels, in_channels=in_channels,
-                        dtype=dtype, **kw)
+                        remat=remat, dtype=dtype, **kw)
     if model_name == "smooth_diff_unet":
         from diff_unet_tpu.models.smooth_diff_unet import SmoothDiffUNet
         kw = {"features": tuple(features)} if features else {}
