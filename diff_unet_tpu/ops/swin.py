@@ -112,8 +112,35 @@ def relative_position_index(ws: Tuple[int, ...]) -> np.ndarray:
 
 # ---------- modules ----------
 
+# trace-time toggle for the fused Pallas attention kernel
+# (ops/pallas_attention.py); flipped with `use_pallas_attention()` or by
+# setting this module attribute before tracing.
+USE_PALLAS_ATTENTION = False
+
+
+class use_pallas_attention:
+    """Context manager enabling the fused Pallas window-attention kernel."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+
+    def __enter__(self):
+        global USE_PALLAS_ATTENTION
+        self.prev = USE_PALLAS_ATTENTION
+        USE_PALLAS_ATTENTION = self.enabled
+
+    def __exit__(self, *exc):
+        global USE_PALLAS_ATTENTION
+        USE_PALLAS_ATTENTION = self.prev
+
+
 class WindowAttention(nn.Module):
-    """Windowed MHSA with learned relative position bias."""
+    """Windowed MHSA with learned relative position bias.
+
+    Two execution paths: the XLA einsum path, and the fused Pallas kernel
+    (ops/pallas_attention.py) that keeps the NxN score tensor in VMEM —
+    enabled at trace time via `use_pallas_attention()`.
+    """
     dim: int
     num_heads: int
     window_size: Tuple[int, int, int]
@@ -137,21 +164,47 @@ class WindowAttention(nn.Module):
                        name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = jnp.einsum(
-            "bhnd,bhmd->bhnm", q * (head_dim ** -0.5), k,
-            preferred_element_type=jnp.float32,
-        )
         rel_bias = bias_table[jnp.asarray(rpi.reshape(-1))]
         rel_bias = rel_bias.reshape(n, n, h).transpose(2, 0, 1)
-        attn = attn + rel_bias[None].astype(attn.dtype)
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(b // nw, nw, h, n, n)
-            attn = attn + mask[None, :, None, :, :].astype(attn.dtype)
-            attn = attn.reshape(b, h, n, n)
-        attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                         preferred_element_type=jnp.float32).astype(q.dtype)
+
+        if USE_PALLAS_ATTENTION:
+            from diff_unet_tpu.ops.pallas_attention import (
+                fused_window_attention,
+            )
+            n_pad = -(-n // 128) * 128
+            pad = [(0, 0), (0, 0), (0, n_pad - n), (0, 0)]
+            qp = jnp.pad(q, pad)
+            kp = jnp.pad(k, pad)
+            vp = jnp.pad(v, pad)
+            bias_p = jnp.pad(
+                rel_bias, [(0, 0), (0, n_pad - n), (0, n_pad - n)]
+            )
+            mask_p = None
+            nw = 1
+            if mask is not None:
+                nw = mask.shape[0]
+                mask_p = jnp.pad(
+                    mask, [(0, 0), (0, n_pad - n), (0, n_pad - n)]
+                )
+            out = fused_window_attention(
+                qp, kp, vp, bias_p, n, mask_p, n_windows=nw
+            )[:, :, :n, :]
+        else:
+            attn = jnp.einsum(
+                "bhnd,bhmd->bhnm", q * (head_dim ** -0.5), k,
+                preferred_element_type=jnp.float32,
+            )
+            attn = attn + rel_bias[None].astype(attn.dtype)
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.reshape(b // nw, nw, h, n, n)
+                attn = attn + mask[None, :, None, :, :].astype(attn.dtype)
+                attn = attn.reshape(b, h, n, n)
+            attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+            out = jnp.einsum(
+                "bhnm,bhmd->bhnd", attn, v,
+                preferred_element_type=jnp.float32,
+            ).astype(q.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
