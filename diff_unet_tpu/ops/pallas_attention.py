@@ -25,13 +25,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_body(q_ref, k_ref, v_ref, bias_ref, mask_ref, nvalid_ref, o_ref):
-    n = q_ref.shape[0]
+    """q/k/v/o refs are (Dh, N): tokens in the lane dimension (128-aligned),
+    head_dim in sublanes — the layout Mosaic tiling requires for Dh < 128."""
+    n = q_ref.shape[1]
     q = q_ref[:].astype(jnp.float32)
     k = k_ref[:].astype(jnp.float32)
     v = v_ref[:].astype(jnp.float32)
 
+    # scores[nq, nk] = sum_d q[d, nq] k[d, nk]
     scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
+        q, k, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     scores = scores + bias_ref[:].astype(jnp.float32)
@@ -45,8 +48,9 @@ def _attn_body(q_ref, k_ref, v_ref, bias_ref, mask_ref, nvalid_ref, o_ref):
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp(scores - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
+    # out[d, nq] = sum_nk v[d, nk] p[nq, nk]
     o_ref[:] = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
+        v, p, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
 
@@ -65,8 +69,13 @@ def fused_window_attention(
     q = q * (dh ** -0.5)
     nvalid_arr = jnp.full((1,), n_valid, jnp.int32)
 
+    # (BW, H, N, Dh) -> (BW, H, Dh, N): tokens into the lane dimension
+    qt = q.transpose(0, 1, 3, 2)
+    kt = k.transpose(0, 1, 3, 2)
+    vt = v.transpose(0, 1, 3, 2)
+
     grid = (bw, h)
-    qkv_spec = pl.BlockSpec((1, 1, n, dh), lambda i, j: (i, j, 0, 0),
+    qkv_spec = pl.BlockSpec((1, 1, dh, n), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((1, n, n), lambda i, j: (j, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -82,26 +91,27 @@ def fused_window_attention(
             _attn_body(q_ref.at[0, 0], k_ref.at[0, 0], v_ref.at[0, 0],
                        b_ref.at[0], m_ref.at[0], nv_ref, o_ref.at[0, 0])
 
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((bw, h, n, dh), q.dtype),
+            out_shape=jax.ShapeDtypeStruct((bw, h, dh, n), q.dtype),
             grid=grid,
             in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec,
                       smem_spec],
             out_specs=qkv_spec,
-        )(q, k, v, bias, mask, nvalid_arr)
+        )(qt, kt, vt, bias, mask, nvalid_arr)
+    else:
+        def kernel(q_ref, k_ref, v_ref, b_ref, nv_ref, o_ref):
+            _attn_body(q_ref.at[0, 0], k_ref.at[0, 0], v_ref.at[0, 0],
+                       b_ref.at[0], None, nv_ref, o_ref.at[0, 0])
 
-    def kernel(q_ref, k_ref, v_ref, b_ref, nv_ref, o_ref):
-        _attn_body(q_ref.at[0, 0], k_ref.at[0, 0], v_ref.at[0, 0],
-                   b_ref.at[0], None, nv_ref, o_ref.at[0, 0])
-
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((bw, h, n, dh), q.dtype),
-        grid=grid,
-        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, smem_spec],
-        out_specs=qkv_spec,
-    )(q, k, v, bias, nvalid_arr)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((bw, h, dh, n), q.dtype),
+            grid=grid,
+            in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, smem_spec],
+            out_specs=qkv_spec,
+        )(qt, kt, vt, bias, nvalid_arr)
+    return out.transpose(0, 1, 3, 2)
 
 
 def reference_window_attention(q, k, v, bias, n_valid, mask=None,
