@@ -32,6 +32,23 @@ Params = Any
 
 
 @dataclasses.dataclass(frozen=True)
+class PlainSegmenter:
+    """Adapter giving non-diffusion baselines (swin_unetr, model_hub.py:36-42)
+    the same init/module surface the training engine consumes."""
+
+    module: nn.Module
+    num_classes: int
+
+    def init(self, rng: jax.Array, image_shape: Sequence[int]) -> Params:
+        def _init(key):
+            return self.module.init(key, jnp.zeros(image_shape, jnp.float32))
+        return jax.jit(_init)(rng)
+
+    def predict(self, params: Params, image: jnp.ndarray) -> jnp.ndarray:
+        return self.module.apply(params, image)
+
+
+@dataclasses.dataclass(frozen=True)
 class DiffusionSegmenter:
     """Bundles a denoiser module with its train/sample diffusion processes."""
 

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diff_unet_tpu.api import DiffusionSegmenter
+from diff_unet_tpu.api import DiffusionSegmenter, PlainSegmenter
 from diff_unet_tpu.data import CacheDataset, DataLoader, get_class_names
 from diff_unet_tpu.data.datalist import load_decathlon_datalist
 from diff_unet_tpu.engine import checkpoint as ckpt_lib
@@ -84,6 +84,7 @@ class Engine:
         include_background: bool = False,
         label_smoothing: bool = False,
         features=None,
+        feature_size: int = 48,
         smoothing_alpha: float = 0.3,
         smoothing_order: float = 1.0,
         lambda_decay: float = 1.0,
@@ -153,6 +154,7 @@ class Engine:
             model_name, out_channels=self.num_classes,
             image_size=image_size, spatial_size=spatial_size,
             noise_ratio=noise_ratio, features=features,
+            feature_size=feature_size,
             remat=(mode == "train"), dtype=self.dtype,
         )
         if self.model_type == ModelType.DIFFUSION:
@@ -161,7 +163,9 @@ class Engine:
                 timesteps=timesteps, sample_steps=sample_steps,
             )
         else:
-            self.seg = None
+            self.seg = PlainSegmenter(
+                module=self.module, num_classes=self.num_classes
+            )
 
         self.criterion = CompositeLoss(
             losses, self.num_classes, loss_combine, include_background
@@ -289,7 +293,12 @@ class Trainer(Engine):
             self.load_pretrained_weights(pretrained_path)
         self.state = replicate(self.state, self.mesh)
 
-        self._train_step = make_train_step(self.seg, self.criterion)
+        self._train_step = make_train_step(
+            self.seg, self.criterion,
+            model_type=("diffusion"
+                        if self.model_type == ModelType.DIFFUSION
+                        else "segmentation"),
+        )
         self._rng = jax.random.key(self.seed + 1)
 
     # ---- checkpointing ----
@@ -405,7 +414,7 @@ class Tester(Engine):
         tx = make_optimizer()
         self.state = create_train_state(
             self.seg, jax.random.key(self.seed), shape, tx
-        ) if self.seg else None
+        )
         if self.model_path:
             self.state, meta = ckpt_lib.restore_params(
                 self.model_path, self.state

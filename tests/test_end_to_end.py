@@ -119,3 +119,21 @@ def test_repo_cfgs_parse():
             cfg = load_config(os.path.join(base, f"cfg/{ds}/{kind}.yaml"))
             assert "model_name" in cfg
             assert cfg.image_size == 96
+
+
+def test_non_diffusion_swin_unetr_trains(workspace, tmp_path, monkeypatch):
+    """swin_unetr baseline (non-diffusion) through the same Trainer."""
+    root, data, classes = workspace
+    monkeypatch.chdir(tmp_path)
+    from diff_unet_tpu.engine.engine import Trainer
+
+    cfg = dict(COMMON)
+    cfg.pop("features")
+    cfg.update(image_size=32, spatial_size=32)
+    trainer = Trainer(
+        model_name="swin_unetr", data_path=str(data), classes=str(classes),
+        max_epochs=1, val_freq=10, save_freq=10, lr=1e-3,
+        feature_size=12, log_dir="swin-e2e", **cfg,
+    )
+    trainer.train()
+    assert np.isfinite(trainer.loss)
