@@ -94,6 +94,7 @@ class Engine:
         log_dir: str = "logs",
         mode: str = "train",
         seed: int = 123,
+        sw_mode: str = "constant",     # constant | gaussian blend
         num_devices: Optional[int] = None,
         spatial_shards: int = 1,
         **_unused,
@@ -179,6 +180,7 @@ class Engine:
         self._inferer = SlidingWindowInferer(
             roi=(spatial_size, image_size, image_size),
             sw_batch_size=sw_batch_size, overlap=self.overlap,
+            mode=sw_mode,
         )
         self._infer_fn = None  # jitted lazily per volume shape
 
@@ -225,24 +227,46 @@ class Engine:
 
     # ---- inference (engine.py:167-182) ----
     def infer(self, params, volume: jnp.ndarray, rng: jax.Array):
-        """volume (D,H,W,1) -> (logits, binary) both (D,H,W,C)."""
+        """volume (D,H,W,1) -> (logits, binary) both (D,H,W,C).
+
+        On a multi-device mesh, windows are sharded across the "data" axis
+        (parallel/sharded_inference.py) — the scale-out analogue of the
+        reference's DataParallel window batching (engine.py:173)."""
         if self._infer_fn is None or self._infer_shape != volume.shape:
             if self.model_type == ModelType.DIFFUSION:
-                def predictor_maker(p):
-                    return lambda w, r: self.seg.ddim_sample(p, w, r)
+                def predictor(p, w, r):
+                    return self.seg.ddim_sample(p, w, r)
             else:
-                def predictor_maker(p):
-                    return lambda w, r: self.module.apply(p, w)
+                def predictor(p, w, r):
+                    return self.module.apply(p, w)
 
-            def run(p, vol, r):
-                logits = self._inferer(
-                    predictor_maker(p), vol, r,
-                    out_channels=self.num_classes,
+            n_dev = int(np.prod(list(self.mesh.shape.values())))
+            if n_dev > 1:
+                from diff_unet_tpu.parallel.sharded_inference import (
+                    make_sharded_inferer,
                 )
-                probs = jax.nn.sigmoid(logits)
-                return logits, (probs > 0.5).astype(jnp.float32)
+                stitched = make_sharded_inferer(
+                    self._inferer, self.mesh, predictor,
+                    out_channels=self.num_classes,
+                    volume_shape=volume.shape,
+                )
 
-            self._infer_fn = jax.jit(run)
+                def run(p, vol, r):
+                    logits = stitched(p, vol, r)
+                    probs = jax.nn.sigmoid(logits)
+                    return logits, (probs > 0.5).astype(jnp.float32)
+
+                self._infer_fn = run  # already jitted inside
+            else:
+                def run(p, vol, r):
+                    logits = self._inferer(
+                        lambda w, rr: predictor(p, w, rr), vol, r,
+                        out_channels=self.num_classes,
+                    )
+                    probs = jax.nn.sigmoid(logits)
+                    return logits, (probs > 0.5).astype(jnp.float32)
+
+                self._infer_fn = jax.jit(run)
             self._infer_shape = volume.shape
         return self._infer_fn(params, volume, rng)
 
@@ -359,15 +383,23 @@ class Trainer(Engine):
         with self.mesh:
             for batch in loader:
                 self.global_step += 1
-                device_batch = shard_batch(
-                    {
-                        "image": batch["image"],
-                        "label": np.asarray(
-                            self.convert_labels(jnp.asarray(batch["label"]))
-                        ) if not self.label_smoothing else batch["label"],
-                    },
-                    self.mesh,
+                labels_np = (
+                    np.asarray(
+                        self.convert_labels(jnp.asarray(batch["label"]))
+                    ) if not self.label_smoothing else batch["label"]
                 )
+                host_batch = {"image": batch["image"], "label": labels_np}
+                if "boundary" in self.losses:
+                    # precompute signed distance maps host-side (native EDT),
+                    # the analogue of dist_map_transform at loss.py:71
+                    from diff_unet_tpu.losses.edt import signed_distance_maps
+                    host_batch["dist_maps"] = np.stack([
+                        signed_distance_maps(
+                            np.moveaxis(lab, -1, 0)
+                        ).transpose(1, 2, 3, 0)
+                        for lab in labels_np
+                    ])
+                device_batch = shard_batch(host_batch, self.mesh)
                 self.state, metrics = self._train_step(
                     self.state, device_batch, self._rng
                 )

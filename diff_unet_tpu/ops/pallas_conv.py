@@ -95,7 +95,7 @@ def conv3d_same(x: jnp.ndarray, w: jnp.ndarray,
             sem=pltpu.SemaphoreType.DMA,
         )
 
-    x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    x_spec = pl.BlockSpec(memory_space=pl.ANY)
     w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec(
         (1, 1, h_blk, wd, cout),

@@ -137,3 +137,35 @@ def test_non_diffusion_swin_unetr_trains(workspace, tmp_path, monkeypatch):
     )
     trainer.train()
     assert np.isfinite(trainer.loss)
+
+
+def test_boundary_loss_training(workspace, tmp_path, monkeypatch):
+    """boundary in the loss list: dist maps precomputed per batch."""
+    root, data, classes = workspace
+    monkeypatch.chdir(tmp_path)
+    from diff_unet_tpu.engine.engine import Trainer
+
+    trainer = Trainer(
+        model_name="diff_unet", data_path=str(data), classes=str(classes),
+        max_epochs=1, val_freq=10, save_freq=10, lr=1e-3,
+        losses="mse,bce,dice,boundary", log_dir="bnd", **COMMON,
+    )
+    trainer.train()
+    assert np.isfinite(trainer.loss)
+
+
+def test_multi_device_eval_uses_sharded_inferer(workspace, tmp_path,
+                                                monkeypatch):
+    """Validation inference on a >1-device mesh goes through the
+    window-sharded path and produces sane dice values."""
+    root, data, classes = workspace
+    monkeypatch.chdir(tmp_path)
+    from diff_unet_tpu.engine.engine import Trainer
+
+    trainer = Trainer(
+        model_name="diff_unet", data_path=str(data), classes=str(classes),
+        max_epochs=1, val_freq=1, save_freq=10, lr=1e-3,
+        num_devices=2, log_dir="mdev", **COMMON,
+    )
+    trainer.train()  # runs validation on the 2-device mesh
+    assert np.isfinite(trainer.best_mean_dice)
