@@ -124,8 +124,14 @@ def rand_crop_pos_neg(
     shape = np.asarray(image.shape[:3])
     size = np.asarray(spatial_size)
 
-    fg = np.argwhere(label > 0)
-    bg_mask = (label <= 0) & (image > image_threshold)
+    if label.ndim == 4:
+        # channelled (e.g. distance-smoothed) labels: foreground = any
+        # non-background channel dominant (channel 0 is background)
+        fg_map = label[..., 1:].max(axis=-1) > 0.5
+    else:
+        fg_map = label > 0
+    fg = np.argwhere(fg_map)
+    bg_mask = (~fg_map) & (image > image_threshold)
     bg = np.argwhere(bg_mask)
     if len(bg) == 0:
         bg = np.argwhere(np.ones_like(label, bool))

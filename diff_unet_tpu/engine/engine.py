@@ -221,8 +221,11 @@ class Engine:
 
     # ---- device-side label conversion ----
     def convert_labels(self, labels: jnp.ndarray) -> jnp.ndarray:
-        if self.include_background:
-            return labels  # already one-hot channels from the pipeline
+        """Integer labels -> one-hot channels over the configured class ids
+        (engine.py:157-165; with include_background the background id is a
+        channel too). Float labels (label smoothing) pass through."""
+        if labels.ndim == 5:  # already channels (smoothed labels)
+            return labels
         return convert_labels(labels, sorted(self.class_names.keys()))
 
     # ---- inference (engine.py:167-182) ----
@@ -383,11 +386,17 @@ class Trainer(Engine):
         with self.mesh:
             for batch in loader:
                 self.global_step += 1
-                labels_np = (
-                    np.asarray(
+                if self.label_smoothing:
+                    # smoothed float labels carry a background channel;
+                    # strip it unless configured otherwise
+                    # (Engine.convert_labels train branch, engine.py:159-160)
+                    labels_np = batch["label"]
+                    if not self.include_background:
+                        labels_np = labels_np[..., 1:]
+                else:
+                    labels_np = np.asarray(
                         self.convert_labels(jnp.asarray(batch["label"]))
-                    ) if not self.label_smoothing else batch["label"]
-                )
+                    )
                 host_batch = {"image": batch["image"], "label": labels_np}
                 if "boundary" in self.losses:
                     # precompute signed distance maps host-side (native EDT),

@@ -169,3 +169,34 @@ def test_multi_device_eval_uses_sharded_inferer(workspace, tmp_path,
     )
     trainer.train()  # runs validation on the 2-device mesh
     assert np.isfinite(trainer.best_mean_dice)
+
+
+def test_label_smoothing_training(workspace, tmp_path, monkeypatch):
+    """label_smoothing=True: smoothed float labels, bg channel stripped."""
+    root, data, classes = workspace
+    monkeypatch.chdir(tmp_path)
+    from diff_unet_tpu.engine.engine import Trainer
+
+    trainer = Trainer(
+        model_name="diff_unet", data_path=str(data), classes=str(classes),
+        max_epochs=1, val_freq=10, save_freq=10, lr=1e-3,
+        label_smoothing=True, smoothing_alpha=0.2, log_dir="ls",
+        **COMMON,
+    )
+    trainer.train()
+    assert np.isfinite(trainer.loss)
+
+
+def test_include_background_training(workspace, tmp_path, monkeypatch):
+    root, data, classes = workspace
+    monkeypatch.chdir(tmp_path)
+    from diff_unet_tpu.engine.engine import Trainer
+
+    trainer = Trainer(
+        model_name="diff_unet", data_path=str(data), classes=str(classes),
+        max_epochs=1, val_freq=1, save_freq=10, lr=1e-3,
+        include_background=True, log_dir="bg", **COMMON,
+    )
+    assert trainer.num_classes == 3  # background included
+    trainer.train()
+    assert np.isfinite(trainer.loss)
