@@ -497,6 +497,16 @@ class Tester(Engine):
         self.results["dices"].append(dices)
         self.results["hd95s"].append(hd95s)
         self.results["filenames"].append(batch.get("filename", [None])[0])
+        # mid-slice overlay dump (engine.py:184-248 log_plot parity)
+        vis_dir = self.log_dir / "vis"
+        vis_dir.mkdir(parents=True, exist_ok=True)
+        idx = len(self.results["dices"]) - 1
+        self.logger.save_midslice_png(
+            vis_dir / f"case{idx}.png",
+            np.asarray(image)[..., 0],
+            output=np.argmax(out_np, axis=-1),
+            label=np.argmax(lab_np, axis=-1),
+        )
 
     def save_results(self) -> None:
         self.log_dir.mkdir(parents=True, exist_ok=True)
