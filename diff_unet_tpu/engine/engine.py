@@ -145,6 +145,13 @@ class Engine:
                    or num_devices % spatial_shards != 0) and num_devices > 1:
                 num_devices -= 1
         devices = devices[:num_devices]
+        if num_devices % spatial_shards != 0:
+            # auto-pick can exit the loop at num_devices=1 with
+            # spatial_shards>1; clamp rather than crash (create_mesh would
+            # only warn, but keep self state consistent too)
+            spatial_shards = max(
+                s for s in range(1, spatial_shards + 1)
+                if num_devices % s == 0)
         self.mesh = create_mesh(devices, space=spatial_shards)
 
         print(f"number of classes : {self.num_classes} "

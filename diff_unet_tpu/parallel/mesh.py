@@ -19,6 +19,7 @@ TPU-native realisation of "sequence parallelism" for volumetric data
 """
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Sequence
 
 import jax
@@ -40,8 +41,17 @@ def create_mesh(
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    if n % space != 0:
+        # Degrade gracefully (e.g. 1 real chip with spatial_shards=2 in the
+        # config): shrink "space" to the largest divisor of n rather than
+        # crashing — the analogue of DataParallel silently running on fewer
+        # GPUs than device_ids lists.
+        fallback = max(s for s in range(1, space) if n % s == 0)
+        warnings.warn(
+            f"create_mesh: {n} device(s) not divisible by space={space}; "
+            f"falling back to space={fallback}", stacklevel=2)
+        space = fallback
     if data is None:
-        assert n % space == 0, (n, space)
         data = n // space
     assert data * space == n, (data, space, n)
     dev_array = np.asarray(devices).reshape(data, space)
