@@ -83,6 +83,53 @@ def map_basic_unet_encoder(sd: Dict[str, np.ndarray],
     return out
 
 
+def _deconv_w(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose3d weight (in, out, kd, kh, kw) -> flax
+    nn.ConvTranspose kernel (kd, kh, kw, in, out).
+
+    flax ConvTranspose (transpose_kernel=False) applies the kernel as a
+    regular conv over the input-dilated signal, whereas torch's is the
+    gradient-of-conv formulation; for the same numerics the spatial taps
+    must be flipped (verified by tests/test_torch_parity.py).
+    """
+    w = np.transpose(w, (2, 3, 4, 0, 1))
+    return w[::-1, ::-1, ::-1].copy()
+
+
+def map_two_conv_temb(sd: Dict, prefix: str, tree: Dict, name: str) -> None:
+    """Time-conditioned TwoConv (denoiser.py:50-67): conv pair + temb_proj."""
+    map_two_conv(sd, prefix, tree, name)
+    _set(tree, f"{name}/temb_proj/kernel", _lin_w(sd[prefix + "temb_proj.weight"]))
+    _set(tree, f"{name}/temb_proj/bias", sd[prefix + "temb_proj.bias"])
+
+
+def map_basic_unet_denoiser(sd: Dict[str, np.ndarray],
+                            den_params: Dict) -> Dict:
+    """Reference BasicUNetRDenoiser state_dict
+    (models/basic_unet/denoiser.py:196-312) -> our BasicUNetDenoiser params.
+
+    torch layout: temb.dense.{0,1}, conv_0.*, down_{1..4}.convs.*,
+    upcat_{4..1}.{upsample.deconv,convs}.*, final_conv.
+    """
+    sd = _strip_module(sd)
+    out = copy.deepcopy(den_params)
+    for j in (0, 1):
+        _set(out, f"temb/dense_{j}/kernel", _lin_w(sd[f"temb.dense.{j}.weight"]))
+        _set(out, f"temb/dense_{j}/bias", sd[f"temb.dense.{j}.bias"])
+    map_two_conv_temb(sd, "conv_0.", out, "conv_0")
+    for i in range(1, 5):
+        map_two_conv_temb(sd, f"down_{i}.convs.", out, f"down_{i}/convs")
+    for i in range(1, 5):
+        _set(out, f"upcat_{i}/upsample/kernel",
+             _deconv_w(sd[f"upcat_{i}.upsample.deconv.weight"]))
+        _set(out, f"upcat_{i}/upsample/bias",
+             sd[f"upcat_{i}.upsample.deconv.bias"])
+        map_two_conv_temb(sd, f"upcat_{i}.convs.", out, f"upcat_{i}/convs")
+    _set(out, "final_conv/kernel", _conv_w(sd["final_conv.weight"]))
+    _set(out, "final_conv/bias", sd["final_conv.bias"])
+    return out
+
+
 def map_swin_vit(sd: Dict[str, np.ndarray], swin_params: Dict) -> Dict:
     """swinvit.pt state_dict -> our ops.swin.SwinTransformer params
     (name map of swin_unetr/denoiser.py:410-457)."""
