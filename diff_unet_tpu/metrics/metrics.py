@@ -124,6 +124,16 @@ class ConfusionMatrix:
         self._ensure()
         return (self.tp + self.tn) / self.n if self.n > 0 else 0.0
 
+    # --- reference-parity accessors (metric.py:80-103) ---
+    def get_matrix(self) -> Tuple[int, int, int, int]:
+        self._ensure()
+        return self.tp, self.fp, self.tn, self.fn
+
+    def get_existence(self) -> Tuple[bool, bool, bool, bool]:
+        self._ensure()
+        return (self.test_empty, self.test_full,
+                self.reference_empty, self.reference_full)
+
 
 def _surface_distances(
     result: np.ndarray, reference: np.ndarray,
@@ -180,15 +190,256 @@ def average_symmetric_surface_distance(result, reference,
     return float(np.hstack([s1, s2]).mean())
 
 
+# ---------- function-style metric suite ----------
+# Name-for-name parity with the reference registry
+# (light_training/evaluation/metric.py:105-409): every function takes
+# (test, reference, confusion_matrix=None, nan_for_nonexisting=True) and
+# reproduces the reference's empty/full-mask NaN conventions.
+
+def _cm(test, reference, confusion_matrix) -> ConfusionMatrix:
+    return (confusion_matrix if confusion_matrix is not None
+            else ConfusionMatrix(test, reference))
+
+
+def _nan_or_zero(nan_for_nonexisting: bool) -> float:
+    return float("nan") if nan_for_nonexisting else 0.0
+
+
+def dice(test=None, reference=None, confusion_matrix=None,
+         nan_for_nonexisting=True, **kwargs) -> float:
+    """2TP / (2TP + FP + FN); NaN when both masks empty (metric.py:105-121)."""
+    cm = _cm(test, reference, confusion_matrix)
+    tp, fp, tn, fn = cm.get_matrix()
+    t_e, _, r_e, _ = cm.get_existence()
+    if t_e and r_e:
+        return _nan_or_zero(nan_for_nonexisting)
+    return float(2.0 * tp / (2 * tp + fp + fn))
+
+
+def jaccard(test=None, reference=None, confusion_matrix=None,
+            nan_for_nonexisting=True, **kwargs) -> float:
+    """TP / (TP + FP + FN); NaN when both masks empty (metric.py:123-139)."""
+    cm = _cm(test, reference, confusion_matrix)
+    tp, fp, tn, fn = cm.get_matrix()
+    t_e, _, r_e, _ = cm.get_existence()
+    if t_e and r_e:
+        return _nan_or_zero(nan_for_nonexisting)
+    return float(tp / (tp + fp + fn))
+
+
+def precision(test=None, reference=None, confusion_matrix=None,
+              nan_for_nonexisting=True, **kwargs) -> float:
+    """TP / (TP + FP); NaN when the prediction is empty (metric.py:141-156)."""
+    cm = _cm(test, reference, confusion_matrix)
+    tp, fp, tn, fn = cm.get_matrix()
+    t_e, _, _, _ = cm.get_existence()
+    if t_e:
+        return _nan_or_zero(nan_for_nonexisting)
+    return float(tp / (tp + fp))
+
+
+def sensitivity(test=None, reference=None, confusion_matrix=None,
+                nan_for_nonexisting=True, **kwargs) -> float:
+    """TP / (TP + FN); NaN when the reference is empty (metric.py:159-175)."""
+    cm = _cm(test, reference, confusion_matrix)
+    tp, fp, tn, fn = cm.get_matrix()
+    _, _, r_e, _ = cm.get_existence()
+    if r_e:
+        return _nan_or_zero(nan_for_nonexisting)
+    return float(tp / (tp + fn))
+
+
+def recall(test=None, reference=None, confusion_matrix=None,
+           nan_for_nonexisting=True, **kwargs) -> float:
+    return sensitivity(test, reference, confusion_matrix,
+                       nan_for_nonexisting, **kwargs)
+
+
+def specificity(test=None, reference=None, confusion_matrix=None,
+                nan_for_nonexisting=True, **kwargs) -> float:
+    """TN / (TN + FP); NaN when the reference is full (metric.py:183-199)."""
+    cm = _cm(test, reference, confusion_matrix)
+    tp, fp, tn, fn = cm.get_matrix()
+    _, _, _, r_f = cm.get_existence()
+    if r_f:
+        return _nan_or_zero(nan_for_nonexisting)
+    return float(tn / (tn + fp))
+
+
+def accuracy(test=None, reference=None, confusion_matrix=None,
+             **kwargs) -> float:
+    """(TP + TN) / N (metric.py:201-210)."""
+    cm = _cm(test, reference, confusion_matrix)
+    tp, fp, tn, fn = cm.get_matrix()
+    return float((tp + tn) / (tp + fp + tn + fn))
+
+
+def fscore(test=None, reference=None, confusion_matrix=None,
+           nan_for_nonexisting=True, beta=1.0, **kwargs) -> float:
+    """(1+b^2)·P·R / (b^2·P + R) (metric.py:212-219). NaN when the
+    denominator vanishes (the reference raises ZeroDivisionError there —
+    documented deviation)."""
+    cm = _cm(test, reference, confusion_matrix)
+    p = precision(confusion_matrix=cm, nan_for_nonexisting=nan_for_nonexisting)
+    r = recall(confusion_matrix=cm, nan_for_nonexisting=nan_for_nonexisting)
+    denom = beta * beta * p + r
+    if denom == 0 or np.isnan(denom):
+        return float("nan")
+    return float((1 + beta * beta) * p * r / denom)
+
+
+def false_positive_rate(test=None, reference=None, confusion_matrix=None,
+                        nan_for_nonexisting=True, **kwargs) -> float:
+    """FP / (FP + TN) = 1 - specificity (metric.py:222-225)."""
+    return 1 - specificity(test, reference, confusion_matrix,
+                           nan_for_nonexisting)
+
+
+def false_omission_rate(test=None, reference=None, confusion_matrix=None,
+                        nan_for_nonexisting=True, **kwargs) -> float:
+    """FN / (TN + FN); NaN when the prediction is full (metric.py:228-243)."""
+    cm = _cm(test, reference, confusion_matrix)
+    tp, fp, tn, fn = cm.get_matrix()
+    _, t_f, _, _ = cm.get_existence()
+    if t_f:
+        return _nan_or_zero(nan_for_nonexisting)
+    return float(fn / (fn + tn))
+
+
+def false_negative_rate(test=None, reference=None, confusion_matrix=None,
+                        nan_for_nonexisting=True, **kwargs) -> float:
+    """FN / (TP + FN) = 1 - sensitivity (metric.py:246-249)."""
+    return 1 - sensitivity(test, reference, confusion_matrix,
+                           nan_for_nonexisting)
+
+
+def true_negative_rate(test=None, reference=None, confusion_matrix=None,
+                       nan_for_nonexisting=True, **kwargs) -> float:
+    """TN / (TN + FP) = specificity (metric.py:252-255)."""
+    return specificity(test, reference, confusion_matrix, nan_for_nonexisting)
+
+
+def false_discovery_rate(test=None, reference=None, confusion_matrix=None,
+                         nan_for_nonexisting=True, **kwargs) -> float:
+    """FP / (TP + FP) = 1 - precision (metric.py:258-261)."""
+    return 1 - precision(test, reference, confusion_matrix,
+                         nan_for_nonexisting)
+
+
+def negative_predictive_value(test=None, reference=None,
+                              confusion_matrix=None,
+                              nan_for_nonexisting=True, **kwargs) -> float:
+    """TN / (TN + FN) = 1 - false omission rate (metric.py:264-267)."""
+    return 1 - false_omission_rate(test, reference, confusion_matrix,
+                                   nan_for_nonexisting)
+
+
+def total_positives_test(test=None, reference=None, confusion_matrix=None,
+                         **kwargs) -> int:
+    """TP + FP (metric.py:270-278)."""
+    cm = _cm(test, reference, confusion_matrix)
+    tp, fp, tn, fn = cm.get_matrix()
+    return tp + fp
+
+
+def total_negatives_test(test=None, reference=None, confusion_matrix=None,
+                         **kwargs) -> int:
+    """TN + FN (metric.py:281-289)."""
+    cm = _cm(test, reference, confusion_matrix)
+    tp, fp, tn, fn = cm.get_matrix()
+    return tn + fn
+
+
+def total_positives_reference(test=None, reference=None,
+                              confusion_matrix=None, **kwargs) -> int:
+    """TP + FN (metric.py:292-300)."""
+    cm = _cm(test, reference, confusion_matrix)
+    tp, fp, tn, fn = cm.get_matrix()
+    return tp + fn
+
+
+def total_negatives_reference(test=None, reference=None,
+                              confusion_matrix=None, **kwargs) -> int:
+    """TN + FP (metric.py:303-311)."""
+    cm = _cm(test, reference, confusion_matrix)
+    tp, fp, tn, fn = cm.get_matrix()
+    return tn + fp
+
+
+def _distance_guard(test, reference, confusion_matrix, nan_for_nonexisting):
+    """Reference distance metrics return NaN for empty OR full masks
+    (metric.py:314-330 and siblings)."""
+    cm = _cm(test, reference, confusion_matrix)
+    t_e, t_f, r_e, r_f = cm.get_existence()
+    if t_e or t_f or r_e or r_f:
+        return cm, _nan_or_zero(nan_for_nonexisting)
+    return cm, None
+
+
+def hausdorff_distance_m(test=None, reference=None, confusion_matrix=None,
+                         nan_for_nonexisting=True, voxel_spacing=None,
+                         **kwargs) -> float:
+    cm, guard = _distance_guard(test, reference, confusion_matrix,
+                                nan_for_nonexisting)
+    if guard is not None:
+        return guard
+    return hausdorff_distance(cm.test, cm.reference, voxel_spacing)
+
+
+def hausdorff_distance_95_m(test=None, reference=None, confusion_matrix=None,
+                            nan_for_nonexisting=True, voxel_spacing=None,
+                            **kwargs) -> float:
+    cm, guard = _distance_guard(test, reference, confusion_matrix,
+                                nan_for_nonexisting)
+    if guard is not None:
+        return guard
+    return hausdorff_distance_95(cm.test, cm.reference, voxel_spacing)
+
+
+def avg_surface_distance(test=None, reference=None, confusion_matrix=None,
+                         nan_for_nonexisting=True, voxel_spacing=None,
+                         **kwargs) -> float:
+    cm, guard = _distance_guard(test, reference, confusion_matrix,
+                                nan_for_nonexisting)
+    if guard is not None:
+        return guard
+    return average_surface_distance(cm.test, cm.reference, voxel_spacing)
+
+
+def avg_surface_distance_symmetric(test=None, reference=None,
+                                   confusion_matrix=None,
+                                   nan_for_nonexisting=True,
+                                   voxel_spacing=None, **kwargs) -> float:
+    cm, guard = _distance_guard(test, reference, confusion_matrix,
+                                nan_for_nonexisting)
+    if guard is not None:
+        return guard
+    return average_symmetric_surface_distance(cm.test, cm.reference,
+                                              voxel_spacing)
+
+
+# Name-for-name parity with the reference's ALL_METRICS
+# (light_training/evaluation/metric.py:389-409) — including its
+# lower-case "total Negatives Reference" key, kept verbatim so lookups
+# written against the reference keep working.
 ALL_METRICS = {
-    "Dice": lambda t, r: ConfusionMatrix(t, r).dice(),
-    "Jaccard": lambda t, r: ConfusionMatrix(t, r).jaccard(),
-    "Precision": lambda t, r: ConfusionMatrix(t, r).precision(),
-    "Recall": lambda t, r: ConfusionMatrix(t, r).recall(),
-    "Specificity": lambda t, r: ConfusionMatrix(t, r).specificity(),
-    "Accuracy": lambda t, r: ConfusionMatrix(t, r).accuracy(),
-    "Hausdorff Distance": hausdorff_distance,
-    "Hausdorff Distance 95": hausdorff_distance_95,
-    "Avg. Surface Distance": average_surface_distance,
-    "Avg. Symmetric Surface Distance": average_symmetric_surface_distance,
+    "False Positive Rate": false_positive_rate,
+    "Dice": dice,
+    "Jaccard": jaccard,
+    "Hausdorff Distance": hausdorff_distance_m,
+    "Hausdorff Distance 95": hausdorff_distance_95_m,
+    "Precision": precision,
+    "Recall": recall,
+    "Avg. Symmetric Surface Distance": avg_surface_distance_symmetric,
+    "Avg. Surface Distance": avg_surface_distance,
+    "Accuracy": accuracy,
+    "False Omission Rate": false_omission_rate,
+    "Negative Predictive Value": negative_predictive_value,
+    "False Negative Rate": false_negative_rate,
+    "True Negative Rate": true_negative_rate,
+    "False Discovery Rate": false_discovery_rate,
+    "Total Positives Test": total_positives_test,
+    "Total Negatives Test": total_negatives_test,
+    "Total Positives Reference": total_positives_reference,
+    "total Negatives Reference": total_negatives_reference,
 }

@@ -84,6 +84,72 @@ def test_hausdorff_empty_mask_nan():
     assert np.isnan(hausdorff_distance(a, b))
 
 
+def _ref_metric_module():
+    """Import the reference light_training/evaluation/metric.py with a
+    no-op medpy stub (medpy only backs its distance metrics, which we do
+    not golden-compare here)."""
+    import importlib
+    import sys
+    import types
+    if "medpy" not in sys.modules:
+        medpy = types.ModuleType("medpy")
+        medpy.metric = types.ModuleType("medpy.metric")
+        sys.modules["medpy"] = medpy
+        sys.modules["medpy.metric"] = medpy.metric
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    try:
+        return importlib.import_module("light_training.evaluation.metric")
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference metric module not importable: {e}")
+
+
+def test_all_metrics_registry_parity_vs_reference():
+    """Every confusion-matrix-based entry of ALL_METRICS matches the
+    reference function (metric.py:389-409) on random masks + edge cases."""
+    from diff_unet_tpu.metrics import ALL_METRICS
+
+    ref = _ref_metric_module()
+    assert set(ALL_METRICS) == set(ref.ALL_METRICS)
+
+    rng = np.random.RandomState(3)
+    cases = [
+        ((rng.rand(6, 6, 6) > 0.5), (rng.rand(6, 6, 6) > 0.5)),
+        ((rng.rand(6, 6, 6) > 0.2), (rng.rand(6, 6, 6) > 0.8)),
+        (np.zeros((4, 4, 4), bool), np.zeros((4, 4, 4), bool)),  # both empty
+        (np.zeros((4, 4, 4), bool), np.ones((4, 4, 4), bool)),   # empty/full
+        (np.ones((4, 4, 4), bool), np.zeros((4, 4, 4), bool)),   # full/empty
+        (np.ones((4, 4, 4), bool), np.ones((4, 4, 4), bool)),    # both full
+    ]
+    distance_names = {"Hausdorff Distance", "Hausdorff Distance 95",
+                      "Avg. Surface Distance",
+                      "Avg. Symmetric Surface Distance"}
+    for name, fn in ALL_METRICS.items():
+        for t, r in cases:
+            if name in distance_names:
+                # reference backs these with medpy (stubbed out); only the
+                # empty/full guard is comparable
+                if not (t.any() and r.any() and not t.all() and not r.all()):
+                    assert np.isnan(fn(t, r)), name
+                continue
+            want = ref.ALL_METRICS[name](test=t.copy(), reference=r.copy())
+            got = fn(t, r)
+            if isinstance(want, float) and np.isnan(want):
+                assert np.isnan(got), (name, t.sum(), r.sum())
+            else:
+                assert got == pytest.approx(want), (name, t.sum(), r.sum())
+
+
+def test_fscore_matches_reference():
+    from diff_unet_tpu.metrics import fscore
+    ref = _ref_metric_module()
+    rng = np.random.RandomState(7)
+    t, r = rng.rand(6, 6, 6) > 0.4, rng.rand(6, 6, 6) > 0.6
+    for beta in (0.5, 1.0, 2.0):
+        assert fscore(t, r, beta=beta) == pytest.approx(
+            ref.fscore(test=t.copy(), reference=r.copy(), beta=beta))
+
+
 def test_voxelspacing_scales_distances():
     a = np.zeros((10, 10, 10), bool)
     b = np.zeros((10, 10, 10), bool)
