@@ -113,10 +113,16 @@ class DiffusionSegmenter:
         image: jnp.ndarray,
         rng: jax.Array,
         *,
+        noise: Optional[jnp.ndarray] = None,
         eta: float = 0.0,
         return_all: bool = False,
     ) -> jnp.ndarray:
-        """Respaced DDIM loop; returns the per-step pred_xstart sum as logits."""
+        """Respaced DDIM loop; returns the per-step pred_xstart sum as logits.
+
+        `noise` overrides the x_T draw — sliding-window inference passes
+        per-window noise keyed on window start coordinates so stitched
+        outputs are independent of window batching / device layout.
+        """
         embeddings = self.module.apply(params, image, method="embed")
 
         def denoise_fn(x, t):
@@ -128,8 +134,8 @@ class DiffusionSegmenter:
         b = image.shape[0]
         shape = (b, *image.shape[1:-1], self.num_classes)
         out = sampling.ddim_sample_loop(
-            denoise_fn, self.sample_schedule, shape, rng, eta=eta,
-            mean_type=self.mean_type, var_type=self.var_type,
+            denoise_fn, self.sample_schedule, shape, rng, noise=noise,
+            eta=eta, mean_type=self.mean_type, var_type=self.var_type,
             clip_denoised=True,
         )
         if return_all:

@@ -35,7 +35,10 @@ from diff_unet_tpu.api import DiffusionSegmenter, PlainSegmenter
 from diff_unet_tpu.data import CacheDataset, DataLoader, get_class_names
 from diff_unet_tpu.data.datalist import load_decathlon_datalist
 from diff_unet_tpu.engine import checkpoint as ckpt_lib
-from diff_unet_tpu.engine.sliding_window import SlidingWindowInferer
+from diff_unet_tpu.engine.sliding_window import (
+    SlidingWindowInferer,
+    make_ddim_window_predictor,
+)
 from diff_unet_tpu.engine.train import (
     create_train_state,
     make_optimizer,
@@ -244,10 +247,9 @@ class Engine:
         reference's DataParallel window batching (engine.py:173)."""
         if self._infer_fn is None or self._infer_shape != volume.shape:
             if self.model_type == ModelType.DIFFUSION:
-                def predictor(p, w, r):
-                    return self.seg.ddim_sample(p, w, r)
+                predictor = make_ddim_window_predictor(self.seg)
             else:
-                def predictor(p, w, r):
+                def predictor(p, w, keys):
                     return self.module.apply(p, w)
 
             n_dev = int(np.prod(list(self.mesh.shape.values())))

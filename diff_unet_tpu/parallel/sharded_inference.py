@@ -22,13 +22,16 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from diff_unet_tpu.engine.sliding_window import SlidingWindowInferer
+from diff_unet_tpu.engine.sliding_window import (
+    SlidingWindowInferer,
+    window_keys,
+)
 
 
 def make_sharded_inferer(
     inferer: SlidingWindowInferer,
     mesh: Mesh,
-    predictor: Callable,   # (params, windows (sw,*roi,Cin), rng) -> (sw,*roi,C)
+    predictor: Callable,   # (params, windows (sw,*roi,Cin), keys (sw,)) -> (sw,*roi,C)
     out_channels: int,
     volume_shape,          # static (D, H, W, Cin)
     axis: str = "data",
@@ -73,13 +76,11 @@ def make_sharded_inferer(
             acc, wgt = carry
             b_starts, b_valid = inputs
             windows = jax.vmap(gather)(b_starts)
-            # rng folded per unique window start so padded duplicates and
-            # device layout don't change the noise a window receives
-            batch_rng = jax.random.fold_in(
-                rng, b_starts[0, 0] * 73856093 ^ b_starts[0, 1] * 19349663
-                ^ b_starts[0, 2] * 83492791
-            )
-            preds = predictor(params, windows, batch_rng)
+            # same per-window key discipline as the serial inferer
+            # (sliding_window.window_keys): noise depends only on the
+            # window's start coordinates, never on batching or layout
+            keys = window_keys(rng, b_starts)
+            preds = predictor(params, windows, keys)
             preds = preds.astype(jnp.float32)
 
             def scatter_one(j, aw):
