@@ -178,6 +178,33 @@ def p_sample_loop(
     return _sample_loop(step, schedule, shape, rng, noise, dtype)
 
 
+def ddim_reverse_sample_loop(
+    denoise_fn: DenoiseFn,
+    schedule: Schedule,
+    x: jnp.ndarray,
+    *,
+    mean_type: str = START_X,
+    var_type: str = FIXED_LARGE,
+    clip_denoised: bool = True,
+) -> jnp.ndarray:
+    """DDIM reverse-ODE encoding x_0 -> x_T: iterate ddim_reverse_sample
+    from t=0 up to T-1 (the loop form of gaussian_diffusion.py:588-624, used
+    loop-wise upstream) as one `lax.scan`."""
+    timesteps = jnp.arange(schedule.num_timesteps, dtype=jnp.int32)
+
+    def body(carry, t_scalar):
+        t = jnp.full((x.shape[0],), t_scalar, dtype=jnp.int32)
+        x_next, _ = ddim_reverse_step(
+            denoise_fn, schedule, carry, t,
+            mean_type=mean_type, var_type=var_type,
+            clip_denoised=clip_denoised,
+        )
+        return x_next, None
+
+    x_final, _ = jax.lax.scan(body, x, timesteps)
+    return x_final
+
+
 def ddim_reverse_step(
     denoise_fn: DenoiseFn,
     schedule: Schedule,

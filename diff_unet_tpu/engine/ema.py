@@ -14,8 +14,11 @@ import jax
 
 
 def init_ema(params: Any) -> Any:
-    """EMA state starts as a copy of the parameters."""
-    return jax.tree_util.tree_map(lambda p: p, params)
+    """EMA state starts as a REAL copy of the parameters (aliasing the same
+    buffers breaks jit argument donation: the same buffer may not be donated
+    twice)."""
+    import jax.numpy as jnp
+    return jax.tree_util.tree_map(jnp.copy, params)
 
 
 def update_ema(ema_params: Any, params: Any, rate: float = 0.9999) -> Any:

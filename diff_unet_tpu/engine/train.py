@@ -24,12 +24,19 @@ import optax
 from flax.training import train_state
 
 from diff_unet_tpu.api import DiffusionSegmenter
-from diff_unet_tpu.diffusion import gaussian
+from diff_unet_tpu.diffusion import gaussian, resample
+from diff_unet_tpu.engine.ema import update_ema
 from diff_unet_tpu.losses import CompositeLoss
 
 
 class TrainState(train_state.TrainState):
-    """flax TrainState (step/params/tx/opt_state); extended per need."""
+    """flax TrainState extended with optional EMA parameters (the vendored
+    TrainLoop's ema_params, guided_diffusion/train_util.py:90-95) and the
+    loss-aware timestep-sampler state (resample.py:69-153). Both live inside
+    the state pytree so they update inside the jitted step and checkpoint
+    with everything else."""
+    ema_params: Any = None
+    sampler_state: Any = None
 
 
 def linear_warmup_cosine(
@@ -92,11 +99,23 @@ def create_train_state(
     rng: jax.Array,
     image_shape,
     tx: Optional[optax.GradientTransformation] = None,
+    *,
+    ema_rate: Optional[float] = None,
+    t_sampler: str = "uniform",
 ) -> TrainState:
     params = seg.init(rng, image_shape)
     tx = tx or make_optimizer()
+    ema_params = (
+        # real copies: aliased buffers would be donated twice by the step
+        jax.tree_util.tree_map(jnp.copy, params) if ema_rate else None
+    )
+    sampler_state = (
+        resample.init_loss_aware(seg.timesteps)
+        if t_sampler == "loss_aware" else None
+    )
     return TrainState.create(
-        apply_fn=seg.module.apply, params=params, tx=tx
+        apply_fn=seg.module.apply, params=params, tx=tx,
+        ema_params=ema_params, sampler_state=sampler_state,
     )
 
 
@@ -107,6 +126,8 @@ def make_train_step(
     model_type: str = "diffusion",
     donate: bool = True,
     remat: bool = True,
+    ema_rate: Optional[float] = None,
+    t_sampler: str = "uniform",
 ) -> Callable:
     """Build the jitted train step.
 
@@ -115,6 +136,13 @@ def make_train_step(
     optional "dist_maps" for the boundary loss). The diffusion path follows
     train.py:261-268: x_start = labels*2-1; x_t,t ~ q_sample; preds =
     denoise(x_t, t | image); loss = criterion(preds, labels).
+
+    `ema_rate` maintains state.ema_params <- ema*rate + params*(1-rate)
+    inside the step (train_util.py:205-207). `t_sampler="loss_aware"` draws
+    t from the LossSecondMomentResampler distribution and importance-weights
+    per-example losses (resample.py:42-58,69-153); state.sampler_state
+    carries the loss history on device (no all_gather — under pjit the
+    update already sees every shard's losses).
     """
 
     # NOTE on memory: activation rematerialisation is block-level, inside
@@ -129,31 +157,62 @@ def make_train_step(
         def forward(params, image, x_t, t):
             return seg.module.apply(params, image)
 
-    def loss_fn(params, batch, rng):
+    loss_aware = t_sampler == "loss_aware"
+
+    def per_example_losses(preds, labels, dist_maps):
+        """criterion over each example alone — needed to importance-weight
+        and to update the per-timestep loss history."""
+        if dist_maps is None:
+            return jax.vmap(
+                lambda p, l: criterion(p[None], l[None], None)
+            )(preds, labels)
+        return jax.vmap(
+            lambda p, l, d: criterion(p[None], l[None], d[None])
+        )(preds, labels, dist_maps)
+
+    def loss_fn(params, batch, rng, sampler_state):
         image = batch["image"]
         labels = batch["label"]
+        dist_maps = batch.get("dist_maps")
+        t = None
         if model_type == "diffusion":
             x_start = labels * 2.0 - 1.0
             t_rng, n_rng = jax.random.split(rng)
-            t, _ = gaussian.uniform_timesteps(
-                t_rng, x_start.shape[0], seg.timesteps
-            )
+            if loss_aware:
+                t, t_weights = resample.sample_loss_aware(
+                    sampler_state, t_rng, x_start.shape[0]
+                )
+            else:
+                t, t_weights = gaussian.uniform_timesteps(
+                    t_rng, x_start.shape[0], seg.timesteps
+                )
             noise = jax.random.normal(n_rng, x_start.shape, x_start.dtype)
             x_t = gaussian.q_sample(seg.train_schedule, x_start, t, noise)
             preds = forward(params, image, x_t, t)
         else:
             preds = forward(params, image, None, None)
-        loss = criterion(
-            preds.astype(jnp.float32), labels, batch.get("dist_maps")
-        )
-        return loss, preds
+        preds32 = preds.astype(jnp.float32)
+        if loss_aware:
+            per_ex = per_example_losses(preds32, labels, dist_maps)
+            loss = jnp.mean(per_ex * t_weights)
+        else:
+            per_ex = None
+            loss = criterion(preds32, labels, dist_maps)
+        return loss, (t, per_ex)
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng
-        )
+        (loss, (t, per_ex)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, batch, rng, state.sampler_state)
         new_state = state.apply_gradients(grads=grads)
+        if ema_rate:
+            new_state = new_state.replace(ema_params=update_ema(
+                state.ema_params, new_state.params, ema_rate))
+        if loss_aware:
+            new_state = new_state.replace(
+                sampler_state=resample.update_loss_aware(
+                    state.sampler_state, t, per_ex))
         gnorm = optax.global_norm(grads)
         metrics = {
             "loss": loss,

@@ -187,6 +187,97 @@ def test_label_smoothing_training(workspace, tmp_path, monkeypatch):
     assert np.isfinite(trainer.loss)
 
 
+def test_ema_accum_loss_aware_training(workspace, tmp_path, monkeypatch):
+    """ema_rate / accum_steps / t_sampler are YAML-reachable Trainer keys
+    (vendored TrainLoop parity, guided_diffusion/train_util.py:22-255)."""
+    root, data, classes = workspace
+    monkeypatch.chdir(tmp_path)
+    import jax
+    import numpy as np
+    from diff_unet_tpu.engine.engine import Trainer
+
+    trainer = Trainer(
+        model_name="diff_unet", data_path=str(data), classes=str(classes),
+        max_epochs=2, val_freq=10, save_freq=2, lr=1e-2,
+        ema_rate=0.5, accum_steps=2, t_sampler="loss_aware",
+        log_dir="ema", **COMMON,
+    )
+    p0 = jax.tree_util.tree_leaves(trainer.state.params)[0].copy()
+    trainer.train()
+    assert np.isfinite(trainer.loss)
+
+    # EMA tracked and distinct from both init and current params
+    leaves_p = jax.tree_util.tree_leaves(trainer.state.params)
+    leaves_e = jax.tree_util.tree_leaves(trainer.state.ema_params)
+    moved = any(
+        not np.allclose(np.asarray(p), np.asarray(e))
+        for p, e in zip(leaves_p, leaves_e)
+    )
+    assert moved, "EMA should lag the raw params"
+
+    # loss-aware sampler state recorded losses
+    assert int(np.sum(np.asarray(trainer.state.sampler_state.counts))) > 0
+
+    # gradient accumulation: params update only every accum_steps steps;
+    # with 2 epochs x 1 batch = 2 steps and accum_steps=2 exactly one
+    # optimizer update happened (optax.MultiSteps mini_step wraps around)
+    assert not np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(trainer.state.params)[0]),
+        np.asarray(p0),
+    )
+
+    # the extended state round-trips through checkpointing
+    resumed = Trainer(
+        model_name="diff_unet", data_path=str(data), classes=str(classes),
+        max_epochs=3, val_freq=10, save_freq=10, lr=1e-2,
+        ema_rate=0.5, accum_steps=2, t_sampler="loss_aware",
+        model_path=str(tmp_path / "logs/ema/weights/epoch_2"),
+        log_dir="ema-resume", **COMMON,
+    )
+    assert resumed.start_epoch == 2
+    assert resumed.state.ema_params is not None
+    resumed.train()
+    assert np.isfinite(resumed.loss)
+
+
+def test_accum_steps_defers_updates(workspace, tmp_path, monkeypatch):
+    """With accum_steps=k, parameters change only on every k-th step."""
+    root, data, classes = workspace
+    monkeypatch.chdir(tmp_path)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from diff_unet_tpu.engine.engine import Trainer
+    from diff_unet_tpu.parallel import shard_batch
+
+    trainer = Trainer(
+        model_name="diff_unet", data_path=str(data), classes=str(classes),
+        max_epochs=1, val_freq=10, save_freq=10, lr=1e-2,
+        accum_steps=3, log_dir="accum", **COMMON,
+    )
+    batch = next(iter(trainer.dataloader["train"]))
+    labels = np.asarray(
+        trainer.convert_labels(jnp.asarray(batch["label"])))
+    device_batch = shard_batch(
+        {"image": batch["image"], "label": labels}, trainer.mesh)
+
+    def leaf(state):
+        return np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+
+    p0 = leaf(trainer.state)
+    with trainer.mesh:
+        state1, _ = trainer._train_step(
+            trainer.state, device_batch, trainer._rng)
+        p1 = leaf(state1)
+        state2, _ = trainer._train_step(state1, device_batch, trainer._rng)
+        p2 = leaf(state2)
+        state3, _ = trainer._train_step(state2, device_batch, trainer._rng)
+        p3 = leaf(state3)
+    np.testing.assert_array_equal(p0, p1)   # mini-step 1: no update
+    np.testing.assert_array_equal(p1, p2)   # mini-step 2: no update
+    assert not np.allclose(p2, p3)          # step 3: apply accumulated
+
+
 def test_include_background_training(workspace, tmp_path, monkeypatch):
     root, data, classes = workspace
     monkeypatch.chdir(tmp_path)

