@@ -122,22 +122,58 @@ class DiffusionSegmenter:
         `noise` overrides the x_T draw — sliding-window inference passes
         per-window noise keyed on window start coordinates so stitched
         outputs are independent of window batching / device layout.
+
+        When the module executes channel-packed (DiffUNet(pack=2)), the
+        whole 10-step scan runs in pack-2 layout: state, conditioning image,
+        logits, and the pred_xstart accumulator are 128-lane-dense instead
+        of padding C=15 -> 128 lanes, which removes the dominant per-step
+        HBM tax of the sampling epilogue. Noise is drawn (or supplied)
+        UNPACKED and reshaped, so packed and unpacked runs see identical
+        noise values.
         """
-        embeddings = self.module.apply(params, image, method="embed")
-
-        def denoise_fn(x, t):
-            return self.module.apply(
-                params, x, t, embeddings, image,
-                method="denoise_with_embeddings",
-            )
-
         b = image.shape[0]
         shape = (b, *image.shape[1:-1], self.num_classes)
+        f = getattr(self.module, "pack", 1)
+        packed = f > 1 and image.shape[3] % (2 * f) == 0
+
+        embeddings = self.module.apply(params, image, method="embed")
+        if packed:
+            from diff_unet_tpu.models.basic_unet import pack_embeddings
+            from diff_unet_tpu.ops import packed as pk
+
+            emb_p = pack_embeddings(embeddings, f)
+            image_p = pk.pack_w(image, f)
+            if noise is None:
+                rng, n_rng = jax.random.split(rng)
+                noise = jax.random.normal(n_rng, shape, jnp.float32)
+            noise = pk.pack_w(noise, f)
+            loop_shape = noise.shape
+
+            def denoise_fn(x_p, t):
+                return self.module.apply(
+                    params, x_p, t, emb_p, image_p, method="denoise_packed",
+                )
+        else:
+            loop_shape = shape
+
+            def denoise_fn(x, t):
+                return self.module.apply(
+                    params, x, t, embeddings, image,
+                    method="denoise_with_embeddings",
+                )
+
         out = sampling.ddim_sample_loop(
-            denoise_fn, self.sample_schedule, shape, rng, noise=noise,
+            denoise_fn, self.sample_schedule, loop_shape, rng, noise=noise,
             eta=eta, mean_type=self.mean_type, var_type=self.var_type,
             clip_denoised=True,
         )
+        if packed:
+            from diff_unet_tpu.ops import packed as pk
+            out = sampling.SampleLoopOutput(
+                sample=pk.unpack_w(out.sample, f),
+                pred_xstart=pk.unpack_w(out.pred_xstart, f),
+                pred_xstart_sum=pk.unpack_w(out.pred_xstart_sum, f),
+            )
         if return_all:
             return out
         return out.pred_xstart_sum

@@ -19,7 +19,14 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from diff_unet_tpu.ops.blocks import Down, TimestepEmbedder, TwoConv, UpCat
+from diff_unet_tpu.ops import packed as pk
+from diff_unet_tpu.ops.blocks import (
+    Down,
+    TimestepEmbedder,
+    TwoConv,
+    UpCat,
+    swish,
+)
 
 DEFAULT_FEATURES = (64, 64, 128, 256, 512, 64)
 
@@ -104,3 +111,224 @@ class BasicUNetDenoiser(nn.Module):
         logits = nn.Conv(self.out_channels, kernel_size=(1, 1, 1),
                          dtype=self.dtype, name="final_conv")(u1)
         return logits
+
+
+# ---------------------------------------------------------------------------
+# Channel-packed (pack-2) execution — see ops/packed.py for the layout math.
+# Parameter trees are IDENTICAL to the unpacked modules (same names, same
+# shapes: packed kernels are assembled from the original weights at apply
+# time), so checkpoints are interchangeable between packed and unpacked runs.
+# ---------------------------------------------------------------------------
+
+
+class _ConvParams(nn.Module):
+    """Raw conv parameters with nn.Conv's names/shapes/initializers."""
+    features: int
+    in_features: int
+    kernel: tuple = (3, 3, 3)
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.kernel, self.in_features, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _NormParams(nn.Module):
+    """Raw InstanceNorm affine parameters (scale/bias)."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.features,)),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
+
+
+class PackedConvNormAct(nn.Module):
+    """ConvNormAct executed in pack-f space (param tree identical)."""
+    features: int
+    in_features: int
+    f: int = 2
+    negative_slope: float = 0.1
+    kernel_size: int = 3
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x_p, in_groups=None):
+        k, b = _ConvParams(self.features, self.in_features,
+                           kernel=(self.kernel_size,) * 3, name="conv")()
+        x = pk.packed_conv(x_p, k, b, self.f, in_groups, dtype=self.dtype)
+        scale, bias = _NormParams(self.features, name="norm")()
+        x = pk.packed_instance_norm(x, scale, bias, self.f, dtype=self.dtype)
+        return nn.leaky_relu(x, negative_slope=self.negative_slope)
+
+
+class PackedTwoConv(nn.Module):
+    """TwoConv in pack-f space with the temb FiLM add tiled over blocks."""
+    features: int
+    in_features: int
+    f: int = 2
+    use_temb: bool = True
+    negative_slope: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x_p, temb=None, in_groups=None):
+        x = PackedConvNormAct(self.features, self.in_features, self.f,
+                              self.negative_slope, dtype=self.dtype,
+                              name="conv_0")(x_p, in_groups)
+        if self.use_temb and temb is not None:
+            proj = nn.Dense(self.features, dtype=self.dtype,
+                            name="temb_proj")(swish(temb))
+            proj_p = jnp.tile(proj, (1, self.f))
+            x = x + proj_p[:, None, None, None, :].astype(x.dtype)
+        x = PackedConvNormAct(self.features, self.features, self.f,
+                              self.negative_slope, dtype=self.dtype,
+                              name="conv_1")(x)
+        return x
+
+
+class _PackedDownConvs(nn.Module):
+    """`Down`-compatible scope holding only the convs (pooling happens in
+    packed space in the parent forward)."""
+    features: int
+    in_features: int
+    f: int = 2
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x_p, temb):
+        return PackedTwoConv(self.features, self.in_features, self.f,
+                             dtype=self.dtype, name="convs")(x_p, temb)
+
+
+class _PlainDownConvs(nn.Module):
+    """`Down`-compatible scope for the unpacked deep levels."""
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, temb):
+        return TwoConv(self.features, dtype=self.dtype, name="convs")(x, temb)
+
+
+class _PackedUpCatEnter(nn.Module):
+    """UpCat whose deconv enters pack-2 space (unpacked input level ->
+    packed output level)."""
+    features: int          # TwoConv output channels (original)
+    up_features: int
+    skip_features: int
+    f: int = 2
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, x_skip_p, temb):
+        k, b = _ConvParams(self.up_features, x.shape[-1],
+                           kernel=(2, 2, 2), name="upsample")()
+        x0_p = pk.packed_deconv2_enter(x, k, b, self.f, dtype=self.dtype)
+        cat = jnp.concatenate([x_skip_p, x0_p], axis=-1)
+        groups = pk.concat_groups([self.skip_features, self.up_features],
+                                  self.f)
+        return PackedTwoConv(
+            self.features, self.skip_features + self.up_features, self.f,
+            dtype=self.dtype, name="convs")(cat, temb, groups)
+
+
+class _PackedUpCatPacked(nn.Module):
+    """UpCat fully inside pack-2 space (packed input -> packed output)."""
+    features: int
+    up_features: int
+    skip_features: int
+    f: int = 2
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x_p, x_skip_p, temb):
+        cin = x_p.shape[-1] // self.f
+        k, b = _ConvParams(self.up_features, cin,
+                           kernel=(2, 2, 2), name="upsample")()
+        x0_p = pk.packed_deconv2_packed(x_p, k, b, self.f, dtype=self.dtype)
+        cat = jnp.concatenate([x_skip_p, x0_p], axis=-1)
+        groups = pk.concat_groups([self.skip_features, self.up_features],
+                                  self.f)
+        return PackedTwoConv(
+            self.features, self.skip_features + self.up_features, self.f,
+            dtype=self.dtype, name="convs")(cat, temb, groups)
+
+
+class BasicUNetDenoiserPacked(nn.Module):
+    """BasicUNetDenoiser executed with the two C=64 pyramid levels (full and
+    half resolution) in pack-2 layout: every level-0/1 activation is
+    128-lane-dense instead of padding 64 -> 128, which roughly halves both
+    HBM footprint and conv wall-clock on v5e (BASELINE.md roofline).
+
+    Inputs/outputs are PACKED: x_p (N, D, H, W/2, 2*C), image_p
+    (N, D, H, W/2, 2), embeddings with levels 0-1 packed (pack_embeddings).
+    Parameter tree identical to BasicUNetDenoiser."""
+    out_channels: int
+    features: Sequence[int] = DEFAULT_FEATURES
+    negative_slope: float = 0.1
+    pack: int = 2
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x_p, t, embeddings=None, image_p=None):
+        f = self.pack
+        fea = tuple(self.features)
+        temb = TimestepEmbedder(dtype=self.dtype, name="temb")(t)
+
+        c_x = x_p.shape[-1] // f
+        if image_p is not None:
+            c_img = image_p.shape[-1] // f
+            x_p = jnp.concatenate([image_p, x_p], axis=-1)
+            stem_groups = pk.concat_groups([c_img, c_x], f)
+            c_in = c_img + c_x
+        else:
+            stem_groups = pk.default_groups(c_x, f)
+            c_in = c_x
+
+        x0 = PackedTwoConv(fea[0], c_in, f, dtype=self.dtype,
+                           name="conv_0")(x_p, temb, stem_groups)
+        if embeddings is not None:
+            x0 = x0 + embeddings[0]
+        x1 = _PackedDownConvs(fea[1], fea[0], f, dtype=self.dtype,
+                              name="down_1")(pk.packed_maxpool2(x0, f), temb)
+        if embeddings is not None:
+            x1 = x1 + embeddings[1]
+        # L1 -> L2 boundary: the packed pool naturally unpacks
+        x2 = _PlainDownConvs(fea[2], dtype=self.dtype, name="down_2")(
+            pk.packed_maxpool2(x1, f, repack=False), temb)
+        if embeddings is not None:
+            x2 = x2 + embeddings[2]
+        x3 = Down(fea[3], dtype=self.dtype, name="down_3")(x2, temb)
+        if embeddings is not None:
+            x3 = x3 + embeddings[3]
+        x4 = Down(fea[4], dtype=self.dtype, name="down_4")(x3, temb)
+        if embeddings is not None:
+            x4 = x4 + embeddings[4]
+
+        u4 = UpCat(fea[3], fea[4] // 2, dtype=self.dtype,
+                   name="upcat_4")(x4, x3, temb)
+        u3 = UpCat(fea[2], fea[3] // 2, dtype=self.dtype,
+                   name="upcat_3")(u4, x2, temb)
+        u2 = _PackedUpCatEnter(fea[1], fea[2] // 2, fea[1], f,
+                               dtype=self.dtype, name="upcat_2")(u3, x1, temb)
+        u1 = _PackedUpCatPacked(fea[5], fea[1], fea[0], f,
+                                dtype=self.dtype, name="upcat_1")(u2, x0, temb)
+
+        fk, fb = _ConvParams(self.out_channels, fea[5],
+                             kernel=(1, 1, 1), name="final_conv")()
+        return pk.packed_conv(u1, fk, fb, f, dtype=self.dtype)
+
+
+def pack_embeddings(embeddings, f: int = 2):
+    """Pack encoder feature maps for the packed denoiser: levels 0-1
+    (full/half resolution) packed, deeper levels unchanged."""
+    return [
+        pk.pack_w(e, f) if i < 2 else e for i, e in enumerate(embeddings)
+    ]

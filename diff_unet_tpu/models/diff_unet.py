@@ -21,8 +21,11 @@ from flax import linen as nn
 from diff_unet_tpu.models.basic_unet import (
     DEFAULT_FEATURES,
     BasicUNetDenoiser,
+    BasicUNetDenoiserPacked,
     BasicUNetEncoder,
+    pack_embeddings,
 )
+from diff_unet_tpu.ops import packed as pk
 
 
 class DiffUNet(nn.Module):
@@ -30,16 +33,25 @@ class DiffUNet(nn.Module):
     in_channels: int = 1
     features: Sequence[int] = DEFAULT_FEATURES
     remat: bool = False   # block-level activation rematerialisation
+    pack: int = 1         # 2 = channel-packed execution (ops/packed.py)
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.embed_model = BasicUNetEncoder(
             features=self.features, remat=self.remat, dtype=self.dtype
         )
-        self.model = BasicUNetDenoiser(
-            out_channels=self.out_channels, features=self.features,
-            remat=self.remat, dtype=self.dtype,
-        )
+        if self.pack > 1:
+            # parameter tree identical to the unpacked denoiser; checkpoints
+            # are interchangeable (see ops/packed.py)
+            self.model = BasicUNetDenoiserPacked(
+                out_channels=self.out_channels, features=self.features,
+                pack=self.pack, dtype=self.dtype,
+            )
+        else:
+            self.model = BasicUNetDenoiser(
+                out_channels=self.out_channels, features=self.features,
+                remat=self.remat, dtype=self.dtype,
+            )
 
     def __call__(self, image, x, t):
         """Full denoise pass (embed + denoiser); also the init target."""
@@ -50,9 +62,30 @@ class DiffUNet(nn.Module):
 
     def denoise(self, image, x, t):
         embeddings = self.embed_model(image)
+        if self.pack > 1:
+            f = self.pack
+            out = self.model(
+                pk.pack_w(x, f), t, pack_embeddings(embeddings, f),
+                pk.pack_w(image, f),
+            )
+            return pk.unpack_w(out, f)
         return self.model(x, t, embeddings, image)
 
     def denoise_with_embeddings(self, x, t, embeddings, image):
         """Denoiser only — used by the DDIM scan where the image embedding is
         computed once per window (reference diffusion.py:90-93)."""
+        if self.pack > 1:
+            f = self.pack
+            out = self.model(
+                pk.pack_w(x, f), t, pack_embeddings(embeddings, f),
+                pk.pack_w(image, f),
+            )
+            return pk.unpack_w(out, f)
         return self.model(x, t, embeddings, image)
+
+    def denoise_packed(self, x_p, t, embeddings_packed, image_p):
+        """Fully-packed denoiser call for the packed DDIM loop: the loop
+        state, the conditioning image, and the level-0/1 embeddings all stay
+        in pack-2 layout across all sampling steps (no per-step repacking)."""
+        assert self.pack > 1
+        return self.model(x_p, t, embeddings_packed, image_p)

@@ -1,0 +1,247 @@
+"""Channel-packed ("pack2") execution for C<128 conv levels on TPU.
+
+Why: v5e tiles the minor dimension to 128 lanes. A channel-last activation
+with C=64 wastes half of every (8,128)/(16,128) tile — measured on-chip,
+XLA's 3D conv sustains ~54 TF/s at C=64@96^3 versus ~146-153 TF/s at C=128
+(see BASELINE.md). Folding f adjacent W positions into the channel dimension
+(a pure row-major reshape: (N,D,H,W,C) -> (N,D,H,W/f, f*C)) makes every
+level-0/1 tensor 128-lane-dense, roughly halving both HBM footprint and
+conv wall-clock for the two C=64 pyramid levels that hold ~82% of the
+model's FLOPs.
+
+A k-wide conv in packed space is still a conv: its packed kernel is a
+block-structured assembly of the ORIGINAL weights, so parameters (and
+checkpoints) are identical between packed and unpacked execution —
+`assemble_packed_kernel` scatters W[kw] blocks by the relation
+kw = f*q + i - o (input w-offset i, output w-offset o, packed tap q), with
+unreachable (i, o, q) combinations exactly zero. Packed outputs are
+bit-compatible with unpacked ones up to bf16 reduction order (adding
+structural zeros is exact in floating point).
+
+Everything here is layout math + jnp; no reference code exists for this
+(the reference is plain torch Conv3d, models/basic_unet/denoiser.py:23-108).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+InGroup = Tuple[int, slice]   # (w_offset inside the packed column, Cin slice)
+
+
+def pack_w(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """(N, D, H, W, C) -> (N, D, H, W/f, f*C); packed channel = w_off*C + c.
+
+    A pure row-major reshape — no transpose, no data movement in logical
+    order (the physical tiled layout changes, which is the point)."""
+    n, d, h, w, c = x.shape
+    assert w % f == 0, (w, f)
+    return x.reshape(n, d, h, w // f, f * c)
+
+
+def unpack_w(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Inverse of pack_w."""
+    n, d, h, wp, fc = x.shape
+    assert fc % f == 0, (fc, f)
+    return x.reshape(n, d, h, wp * f, fc // f)
+
+
+def default_groups(cin: int, f: int) -> List[InGroup]:
+    """Packed-channel layout of pack_w applied to a single tensor."""
+    return [(i, slice(0, cin)) for i in range(f)]
+
+
+def concat_groups(cins: Sequence[int], f: int) -> List[InGroup]:
+    """Packed-channel layout of jnp.concatenate([pack_w(a), pack_w(b), ...]):
+    the groups run tensor-major, w-offset-minor, and each slice addresses the
+    ORIGINAL (unpacked-concat) Cin range of its tensor."""
+    groups: List[InGroup] = []
+    start = 0
+    for c in cins:
+        for i in range(f):
+            groups.append((i, slice(start, start + c)))
+        start += c
+    return groups
+
+
+def assemble_packed_kernel(
+    w: jnp.ndarray,             # (kd, kh, kw, Cin, Cout) original DHWIO
+    f: int,
+    in_groups: Optional[List[InGroup]] = None,
+) -> jnp.ndarray:
+    """Original conv weights -> packed-space conv weights.
+
+    Returns (kd, kh, KQ, Cpacked_in, f*Cout) where KQ is the packed tap
+    count along W. Entry [.., q, rows(group g=(i, sl)), o*Cout:(o+1)*Cout]
+    equals w[.., f*(q - q0) ... kw_offset, sl, :] for
+    kw_offset = f*(q - center) + i - o within the original kernel, else 0.
+    """
+    kd, kh, kw_size, cin, cout = w.shape
+    assert kw_size % 2 == 1
+    half = kw_size // 2
+    if in_groups is None:
+        in_groups = default_groups(cin, f)
+    # packed taps q such that some (i, o) reaches an original tap
+    qmax = (half + f - 1) // f
+    kq = 2 * qmax + 1
+
+    rows = sum(sl.stop - sl.start for _, sl in in_groups)
+    out = jnp.zeros((kd, kh, kq, rows, f * cout), w.dtype)
+    r0 = 0
+    for (i, sl) in in_groups:
+        size = sl.stop - sl.start
+        for o in range(f):
+            for q in range(-qmax, qmax + 1):
+                kw = f * q + i - o
+                if -half <= kw <= half:
+                    out = out.at[
+                        :, :, q + qmax, r0:r0 + size,
+                        o * cout:(o + 1) * cout,
+                    ].set(w[:, :, kw + half, sl, :])
+        r0 += size
+    return out
+
+
+def packed_conv(
+    x_p: jnp.ndarray,           # (N, D, H, W/f, Cpacked_in)
+    w: jnp.ndarray,             # ORIGINAL (kd, kh, kw, Cin, Cout)
+    b: Optional[jnp.ndarray],   # (Cout,) or None
+    f: int,
+    in_groups: Optional[List[InGroup]] = None,
+    dtype=None,
+) -> jnp.ndarray:
+    """SAME conv in packed space; zero-padding packed columns is exact
+    because out-of-range original taps land on structurally-zero weight
+    blocks."""
+    if dtype is not None:
+        x_p = x_p.astype(dtype)
+        w = w.astype(dtype)
+    k = assemble_packed_kernel(w, f, in_groups)
+    kd, kh, kq = k.shape[:3]
+    y = lax.conv_general_dilated(
+        x_p, k, (1, 1, 1),
+        padding=((kd // 2,) * 2, (kh // 2,) * 2, (kq // 2,) * 2),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=x_p.dtype,
+    )
+    if b is not None:
+        y = y + jnp.tile(b, f).astype(y.dtype)
+    return y
+
+
+def packed_instance_norm(
+    x_p: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, f: int,
+    epsilon: float = 1e-5, dtype=None,
+) -> jnp.ndarray:
+    """InstanceNorm over the ORIGINAL spatial extent: per-packed-channel
+    statistics from the f w-offset blocks are averaged back to per-original-
+    channel statistics (every block covers the same voxel count)."""
+    c = x_p.shape[-1] // f
+    axes = tuple(range(1, x_p.ndim - 1))
+    mean_p = jnp.mean(x_p, axis=axes, keepdims=False, dtype=jnp.float32)
+    ex2_p = jnp.mean(lax.square(x_p.astype(jnp.float32)), axis=axes)
+    # (N, f*C) -> (N, f, C) -> merge blocks
+    mean = jnp.mean(mean_p.reshape(-1, f, c), axis=1)
+    ex2 = jnp.mean(ex2_p.reshape(-1, f, c), axis=1)
+    var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+    inv = lax.rsqrt(var + epsilon)
+    a = inv * scale.astype(jnp.float32)
+    bb = bias.astype(jnp.float32) - mean * a
+    a_p = jnp.tile(a, (1, f)).astype(x_p.dtype)
+    b_p = jnp.tile(bb, (1, f)).astype(x_p.dtype)
+    shape = (x_p.shape[0],) + (1,) * (x_p.ndim - 2) + (x_p.shape[-1],)
+    y = x_p * a_p.reshape(shape) + b_p.reshape(shape)
+    return y.astype(dtype or x_p.dtype)
+
+
+def packed_maxpool2(x_p: jnp.ndarray, f: int = 2,
+                    repack: bool = True) -> jnp.ndarray:
+    """2x2x2 max-pool of a pack-2 tensor.
+
+    The W-pair reduction is exactly the max over the two w-offset blocks of
+    each packed column; D/H pool spatially. Returns the next level packed
+    (repack=True) or unpacked (repack=False, e.g. at the boundary to an
+    unpacked level)."""
+    assert f == 2, "pools are implemented for pack factor 2"
+    n, d, h, wp, fc = x_p.shape
+    c = fc // f
+    blocks = x_p.reshape(n, d, h, wp, f, c)
+    m = jnp.max(blocks, axis=4)                      # (N, D, H, W/2, C)
+    m = lax.reduce_window(
+        m, -jnp.inf if m.dtype == jnp.float32 else jnp.finfo(m.dtype).min,
+        lax.max, (1, 2, 2, 1, 1), (1, 2, 2, 1, 1), "VALID",
+    )                                                # (N, D/2, H/2, W/2, C)
+    if repack:
+        return pack_w(m, f)
+    return m
+
+
+def packed_deconv2_enter(
+    x: jnp.ndarray,             # UNPACKED (N, D, H, W, Cin)
+    w: jnp.ndarray,             # ORIGINAL ConvTranspose (2, 2, 2, Cin, Cout)
+    b: Optional[jnp.ndarray],
+    f: int = 2,
+    dtype=None,
+) -> jnp.ndarray:
+    """k2s2 deconv whose OUTPUT lands directly in pack-2 layout.
+
+    out(2i+dd, 2j+dh, 2k+dw) <- in(i, j, k): the W tap dw becomes the packed
+    block, so the packed form is a (2,2,1)-kernel stride-(2,2,1) transposed
+    conv with K[dd,dh,0][ci, dw*Cout+co] = w[dd,dh,dw,ci,co]."""
+    assert f == 2
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    kd, kh, kw, cin, cout = w.shape
+    assert (kd, kh, kw) == (2, 2, 2)
+    # lax.conv_transpose applies kernels mirror-imaged over SPATIAL dims;
+    # moving the W tap into channels loses that mirroring, so the blocks
+    # take the W taps in reversed order (pinned by tests/test_packed.py)
+    k = jnp.concatenate([w[:, :, 1], w[:, :, 0]], axis=-1)  # (2,2,Cin,2Cout)
+    k = k[:, :, None]                                        # (2,2,1,Cin,2Cout)
+    y = lax.conv_transpose(
+        x, k, (2, 2, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    if b is not None:
+        y = y + jnp.tile(b, f).astype(y.dtype)
+    return y
+
+
+def packed_deconv2_packed(
+    x_p: jnp.ndarray,           # PACKED (N, D, H, W/2, 2*Cin)
+    w: jnp.ndarray,             # ORIGINAL ConvTranspose (2, 2, 2, Cin, Cout)
+    b: Optional[jnp.ndarray],
+    f: int = 2,
+    dtype=None,
+) -> jnp.ndarray:
+    """k2s2 deconv from pack-2 input to pack-2 output.
+
+    Packed-out column 2k+s draws only from input block s of packed-in
+    column k, so along packed W it is a width-2 stride-2 transposed conv
+    whose kernel tap s is block-diagonal in (input block == s):
+    K[dd,dh,s][i*Cin+ci, dw*Cout+co] = w[dd,dh,dw,ci,co] * (i == s)."""
+    assert f == 2
+    if dtype is not None:
+        x_p = x_p.astype(dtype)
+        w = w.astype(dtype)
+    kd, kh, kw, cin, cout = w.shape
+    assert (kd, kh, kw) == (2, 2, 2)
+    k = jnp.zeros((2, 2, 2, f * cin, f * cout), w.dtype)
+    # both the channel-folded W taps and the packed-W spatial tap are
+    # mirror-imaged relative to the derivation (lax.conv_transpose flips
+    # spatial kernel dims); pinned by tests/test_packed.py
+    for s in range(2):          # input block feeding packed-W tap (1 - s)
+        for dw in range(2):     # output block
+            k = k.at[:, :, 1 - s, s * cin:(s + 1) * cin,
+                     dw * cout:(dw + 1) * cout].set(w[:, :, 1 - dw])
+    y = lax.conv_transpose(
+        x_p, k, (2, 2, 2), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    if b is not None:
+        y = y + jnp.tile(b, f).astype(y.dtype)
+    return y
