@@ -179,7 +179,7 @@ class Engine:
             )
 
         self.criterion = CompositeLoss(
-            losses, self.num_classes, loss_combine, include_background
+            losses, self.num_classes, loss_combine
         ) if mode == "train" else None
 
         self.logger = MetricLogger(

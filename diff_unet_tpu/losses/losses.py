@@ -327,11 +327,9 @@ class CompositeLoss:
         losses: str,
         num_classes: int,
         combine: str = "sum",
-        include_background: bool = False,
     ) -> None:
         self.num_classes = num_classes
         self.combine = combine
-        self.include_background = include_background
         self.names: Sequence[str] = [s.strip() for s in losses.split(",")]
         for name in self.names:
             if name not in _SIMPLE and name not in (
@@ -345,6 +343,13 @@ class CompositeLoss:
         labels: jnp.ndarray,
         dist_maps: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        if preds.shape[-1] != self.num_classes:
+            raise ValueError(
+                f"preds have {preds.shape[-1]} channels but CompositeLoss was "
+                f"configured for num_classes={self.num_classes}; check the "
+                "include_background setting on the Engine (it adds/removes "
+                "the background channel before the loss)"
+            )
         values = []
         for name in self.names:
             if name == "boundary":
