@@ -33,7 +33,7 @@ def main():
     from diff_unet_tpu.models import DiffUNet
 
     seg = DiffusionSegmenter(
-        module=DiffUNet(out_channels=CLASSES, dtype=jnp.bfloat16),
+        module=DiffUNet(out_channels=CLASSES, dtype=jnp.bfloat16, pack=2),
         num_classes=CLASSES, sample_steps=STEPS,
     )
     shape = (SW_BATCH, ROI, ROI, ROI, 1)
@@ -42,8 +42,16 @@ def main():
 
     sample = jax.jit(seg.ddim_sample)
 
-    # FLOPs of a single denoiser forward (one step, full window batch)
-    denoise = jax.jit(seg.denoise)
+    # FLOPs of a single denoiser forward (one step, full window batch).
+    # The anchor uses the ORIGINAL (unpacked) model's FLOPs: channel-packed
+    # execution does 2x MACs on the two C=64 levels (structural zeros,
+    # ops/packed.py), and counting those would flatter vs_baseline — the
+    # reference on an A100 runs the original FLOPs.
+    seg_ref = DiffusionSegmenter(
+        module=DiffUNet(out_channels=CLASSES, dtype=jnp.bfloat16),
+        num_classes=CLASSES, sample_steps=STEPS,
+    )
+    denoise = jax.jit(seg_ref.denoise)
     x_t = jnp.zeros((SW_BATCH, ROI, ROI, ROI, CLASSES), jnp.float32)
     t = jnp.zeros((SW_BATCH,), jnp.int32)
     try:
