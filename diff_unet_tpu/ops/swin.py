@@ -228,7 +228,10 @@ class SwinMlp(nn.Module):
     def __call__(self, x):
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name="fc1")(x)
-        h = nn.gelu(h)
+        # exact (erf) GELU: the reference uses torch nn.GELU via MONAI
+        # MLPBlock (transformer.py:338,378), whose default is erf, not the
+        # tanh approximation flax defaults to.
+        h = nn.gelu(h, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
 
 
@@ -250,7 +253,7 @@ class SwinTransformerBlock(nn.Module):
         ws, ss = get_window_size((d, h, w), self.window_size,
                                  self.shift_size)
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
 
         pad = [(0, 0)] + [
             (0, (ws[i] - (d, h, w)[i] % ws[i]) % ws[i]) for i in range(3)
@@ -264,7 +267,12 @@ class SwinTransformerBlock(nn.Module):
         else:
             mask = None
         windows = window_partition(x, ws)
-        attn = WindowAttention(self.dim, self.num_heads, tuple(ws),
+        # the bias table/index are sized by the UNCLAMPED window (reference
+        # builds them in __init__ for window 7^3 and slices [:n, :n] in
+        # forward, attention.py:50-105) — keeps param shapes identical to
+        # the reference at stages whose dims are smaller than the window.
+        attn = WindowAttention(self.dim, self.num_heads,
+                               tuple(self.window_size),
                                self.qkv_bias, dtype=self.dtype,
                                name="attn")(windows, mask)
         x = window_reverse(attn, ws, (b, dp, hp, wp))
@@ -273,7 +281,7 @@ class SwinTransformerBlock(nn.Module):
         x = x[:, :d, :h, :w, :]
 
         x = shortcut + x
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         return x + SwinMlp(self.dim, self.mlp_ratio, dtype=self.dtype,
                            name="mlp")(y)
 
@@ -306,7 +314,7 @@ class PatchMerging(nn.Module):
                    (1, 0, 1), (0, 1, 0), (0, 0, 1), (1, 1, 1)]
             parts = [x[:, i::2, j::2, k::2, :] for i, j, k in idx]
         x = jnp.concatenate(parts, axis=-1)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
                         name="reduction")(x)
 

@@ -172,6 +172,62 @@ def map_swin_vit(sd: Dict[str, np.ndarray], swin_params: Dict) -> Dict:
     return out
 
 
+def map_unet_res_block(sd: Dict, prefix: str, tree: Dict,
+                       name: str) -> None:
+    """Reference UnetResBlock (swin_unetr/blocks.py:185-316): conv1/conv2
+    (+conv3 shortcut when present), instance norms, optional t_proj FiLM.
+    dynunet convs carry no bias (MONAI get_conv_layer bias=False); our flax
+    conv biases stay at their zero init."""
+    _set(tree, f"{name}/conv1/kernel", _conv_w(sd[prefix + "conv1.conv.weight"]))
+    _set(tree, f"{name}/conv2/kernel", _conv_w(sd[prefix + "conv2.conv.weight"]))
+    for norm in ("norm1", "norm2"):
+        _set(tree, f"{name}/{norm}/scale", sd[f"{prefix}{norm}.weight"])
+        _set(tree, f"{name}/{norm}/bias", sd[f"{prefix}{norm}.bias"])
+    if prefix + "conv3.conv.weight" in sd:
+        _set(tree, f"{name}/conv3/kernel",
+             _conv_w(sd[prefix + "conv3.conv.weight"]))
+        _set(tree, f"{name}/norm3/scale", sd[prefix + "norm3.weight"])
+        _set(tree, f"{name}/norm3/bias", sd[prefix + "norm3.bias"])
+    if prefix + "t_proj.weight" in sd:
+        _set(tree, f"{name}/t_proj/kernel", _lin_w(sd[prefix + "t_proj.weight"]))
+        _set(tree, f"{name}/t_proj/bias", sd[prefix + "t_proj.bias"])
+
+
+def map_swin_denoiser(sd: Dict[str, np.ndarray], den_params: Dict) -> Dict:
+    """Reference SwinUNETRDenoiser state_dict
+    (models/swin_unetr/denoiser.py:36-408) -> our SwinUNETRDenoiser params.
+
+    torch layout: t_embedder.dense.{0,1}, swinViT.{patch_embed,layersN,
+    t_proj.N}, encoder{1,2,3,4,10}.layer.*, decoder{5..1}.{transp_conv,
+    conv_block}.*, out.conv.conv.*"""
+    sd = _strip_module(sd)
+    out = copy.deepcopy(den_params)
+    for j in (0, 1):
+        _set(out, f"t_embedder/dense_{j}/kernel",
+             _lin_w(sd[f"t_embedder.dense.{j}.weight"]))
+        _set(out, f"t_embedder/dense_{j}/bias", sd[f"t_embedder.dense.{j}.bias"])
+
+    vit_sd = {k[len("swinViT."):]: v for k, v in sd.items()
+              if k.startswith("swinViT.")}
+    out["swinViT"] = map_swin_vit(vit_sd, out["swinViT"])
+    i = 0
+    while f"swinViT.t_proj.{i}.weight" in sd:
+        _set(out, f"swinViT/t_proj_{i}/kernel",
+             _lin_w(sd[f"swinViT.t_proj.{i}.weight"]))
+        _set(out, f"swinViT/t_proj_{i}/bias", sd[f"swinViT.t_proj.{i}.bias"])
+        i += 1
+
+    for enc in ("encoder1", "encoder2", "encoder3", "encoder4", "encoder10"):
+        map_unet_res_block(sd, f"{enc}.layer.", out, f"{enc}/layer")
+    for dec in ("decoder1", "decoder2", "decoder3", "decoder4", "decoder5"):
+        _set(out, f"{dec}/transp_conv/kernel",
+             _deconv_w(sd[f"{dec}.transp_conv.conv.weight"]))
+        map_unet_res_block(sd, f"{dec}.conv_block.", out, f"{dec}/conv_block")
+    _set(out, "out/kernel", _conv_w(sd["out.conv.conv.weight"]))
+    _set(out, "out/bias", sd["out.conv.conv.bias"])
+    return out
+
+
 def load_pretrained_encoder(path: str, params: Any,
                             model_name: str = "diff_unet") -> Any:
     """Graft pretrained torch weights into `params` following the

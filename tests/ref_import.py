@@ -43,3 +43,23 @@ def load_reference_basic_unet():
     denoiser = importlib.import_module("refm.basic_unet.denoiser")
     encoder = importlib.import_module("refm.basic_unet.pretrained.basic_unet")
     return encoder.BasicUNetEncoder, denoiser.BasicUNetRDenoiser
+
+
+def load_reference_swin_denoiser():
+    """Return the SwinUNETRDenoiser torch class from
+    models/swin_unetr/denoiser.py (vendored Swin stack; MONAI symbols
+    resolved by tests/monai_stub)."""
+    from tests import monai_stub
+    monai_stub.install()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+
+    base = REF + "/models"
+    _pkg("refm", base)
+    diff_pkg = _pkg("refm.diffusion", base + "/diffusion")
+    utils = importlib.import_module("refm.diffusion.utils")
+    for sym in ("get_timestep_embedding", "nonlinearity", "TimeStepEmbedder"):
+        setattr(diff_pkg, sym, getattr(utils, sym))
+    _pkg("refm.swin_unetr", base + "/swin_unetr")
+    denoiser = importlib.import_module("refm.swin_unetr.denoiser")
+    return denoiser.SwinUNETRDenoiser
