@@ -136,13 +136,14 @@ class DiffusionSegmenter:
         f = getattr(self.module, "pack", 1)
         packed = f > 1 and image.shape[3] % (2 * f) == 0
 
-        embeddings = self.module.apply(params, image, method="embed")
         if packed:
-            from diff_unet_tpu.models.basic_unet import pack_embeddings
             from diff_unet_tpu.ops import packed as pk
 
-            emb_p = pack_embeddings(embeddings, f)
+            # the packed encoder emits level-0/1 embeddings already in
+            # pack-2 layout — the entire inference path stays 128-lane-dense
             image_p = pk.pack_w(image, f)
+            emb_p = self.module.apply(params, image_p,
+                                      method="embed_packed")
             if noise is None:
                 rng, n_rng = jax.random.split(rng)
                 noise = jax.random.normal(n_rng, shape, jnp.float32)
@@ -155,6 +156,7 @@ class DiffusionSegmenter:
                 )
         else:
             loop_shape = shape
+            embeddings = self.module.apply(params, image, method="embed")
 
             def denoise_fn(x, t):
                 return self.module.apply(

@@ -326,6 +326,50 @@ class BasicUNetDenoiserPacked(nn.Module):
         return pk.packed_conv(u1, fk, fb, f, dtype=self.dtype)
 
 
+class BasicUNetEncoderPacked(nn.Module):
+    """BasicUNetEncoder executed with the two C=64 levels in pack-2 layout.
+
+    `embed_packed` consumes a PACKED image and returns embeddings with
+    levels 0-1 packed, deeper levels plain — exactly the layout
+    `pack_embeddings()` produces, so the packed denoiser consumes them with
+    no repacking. `__call__` keeps the unpacked API (packs in, unpacks out).
+    Parameter tree identical to BasicUNetEncoder; checkpoints are
+    interchangeable."""
+    features: Sequence[int] = DEFAULT_FEATURES
+    in_channels: int = 1
+    negative_slope: float = 0.1
+    pack: int = 2
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        f = self.pack
+        fea = tuple(self.features)
+        self.conv_0 = PackedTwoConv(
+            fea[0], self.in_channels, f, use_temb=False,
+            negative_slope=self.negative_slope, dtype=self.dtype,
+        )
+        self.down_1 = _PackedDownConvs(fea[1], fea[0], f, dtype=self.dtype)
+        self.down_2 = _PlainDownConvs(fea[2], dtype=self.dtype)
+        self.down_3 = Down(fea[3], use_temb=False, dtype=self.dtype)
+        self.down_4 = Down(fea[4], use_temb=False, dtype=self.dtype)
+
+    def embed_packed(self, image_p: jnp.ndarray) -> list[jnp.ndarray]:
+        f = self.pack
+        x0 = self.conv_0(image_p, None,
+                         pk.default_groups(self.in_channels, f))
+        x1 = self.down_1(pk.packed_maxpool2(x0, f), None)
+        x2 = self.down_2(pk.packed_maxpool2(x1, f, repack=False), None)
+        x3 = self.down_3(x2, None)
+        x4 = self.down_4(x3, None)
+        return [x0, x1, x2, x3, x4]
+
+    def __call__(self, image: jnp.ndarray) -> list[jnp.ndarray]:
+        f = self.pack
+        outs = self.embed_packed(pk.pack_w(image, f))
+        return [pk.unpack_w(e, f) if i < 2 else e
+                for i, e in enumerate(outs)]
+
+
 def pack_embeddings(embeddings, f: int = 2):
     """Pack encoder feature maps for the packed denoiser: levels 0-1
     (full/half resolution) packed, deeper levels unchanged."""

@@ -23,6 +23,7 @@ from diff_unet_tpu.models.basic_unet import (
     BasicUNetDenoiser,
     BasicUNetDenoiserPacked,
     BasicUNetEncoder,
+    BasicUNetEncoderPacked,
     pack_embeddings,
 )
 from diff_unet_tpu.ops import packed as pk
@@ -37,9 +38,17 @@ class DiffUNet(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
-        self.embed_model = BasicUNetEncoder(
-            features=self.features, remat=self.remat, dtype=self.dtype
-        )
+        if self.pack > 1:
+            # packed encoder: identical param tree, levels 0-1 in pack-2
+            # layout (outputs feed the packed denoiser with no repack)
+            self.embed_model = BasicUNetEncoderPacked(
+                features=self.features, in_channels=self.in_channels,
+                pack=self.pack, dtype=self.dtype,
+            )
+        else:
+            self.embed_model = BasicUNetEncoder(
+                features=self.features, remat=self.remat, dtype=self.dtype
+            )
         if self.pack > 1:
             # parameter tree identical to the unpacked denoiser; checkpoints
             # are interchangeable (see ops/packed.py)
@@ -60,15 +69,21 @@ class DiffUNet(nn.Module):
     def embed(self, image):
         return self.embed_model(image)
 
+    def embed_packed(self, image_p):
+        """Packed-layout embeddings for the packed DDIM loop (levels 0-1
+        packed) computed by the packed encoder — the whole inference path
+        then never materialises a 64-channel (half-empty-lane) tensor."""
+        assert self.pack > 1
+        return self.embed_model.embed_packed(image_p)
+
     def denoise(self, image, x, t):
-        embeddings = self.embed_model(image)
         if self.pack > 1:
             f = self.pack
-            out = self.model(
-                pk.pack_w(x, f), t, pack_embeddings(embeddings, f),
-                pk.pack_w(image, f),
-            )
+            image_p = pk.pack_w(image, f)
+            emb_p = self.embed_model.embed_packed(image_p)
+            out = self.model(pk.pack_w(x, f), t, emb_p, image_p)
             return pk.unpack_w(out, f)
+        embeddings = self.embed_model(image)
         return self.model(x, t, embeddings, image)
 
     def denoise_with_embeddings(self, x, t, embeddings, image):

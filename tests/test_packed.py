@@ -118,6 +118,35 @@ def _small_models():
     return DiffUNet(**kw), DiffUNet(pack=2, **kw)
 
 
+def test_packed_encoder_matches_unpacked():
+    """BasicUNetEncoderPacked == BasicUNetEncoder with the same params."""
+    from diff_unet_tpu.models.basic_unet import (
+        BasicUNetEncoder, BasicUNetEncoderPacked)
+    feats = (8, 8, 16, 32, 64, 8)
+    plain = BasicUNetEncoder(features=feats)
+    packd = BasicUNetEncoderPacked(features=feats)
+    image = jax.random.normal(jax.random.key(1), (2, 16, 16, 16, 1))
+    params = plain.init(jax.random.key(0), image)
+    params_p = packd.init(jax.random.key(0), image)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_p))
+    want = plain.apply(params, image)
+    got = packd.apply(params, image)
+    for lvl, (w, g) in enumerate(zip(want, got)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"level {lvl}")
+    # packed-layout outputs == pack_w of the plain outputs
+    from diff_unet_tpu.models.basic_unet import pack_embeddings
+    got_p = packd.apply(params, pk.pack_w(image, F),
+                        method="embed_packed")
+    want_p = pack_embeddings(want, F)
+    for lvl, (w, g) in enumerate(zip(want_p, got_p)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"packed level {lvl}")
+
+
 def test_packed_denoiser_matches_unpacked_model():
     """Same params -> same denoise logits, packed vs unpacked execution."""
     plain, packd = _small_models()
