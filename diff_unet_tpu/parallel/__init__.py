@@ -3,3 +3,10 @@ from diff_unet_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     shard_batch,
 )
+from diff_unet_tpu.parallel.distributed import (  # noqa: F401
+    auto_initialize,
+    create_pod_mesh,
+    global_batch_from_local,
+    local_batch_indices,
+    sequential_eval_shard,
+)
