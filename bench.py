@@ -20,7 +20,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-SW_BATCH = 8  # tuned: max window batch that fits v5e HBM; ~2.7x steps/s vs 4
+SW_BATCH = 16  # pack-2 halves L0/L1 activation bytes; 16 fits v5e HBM (+2%)
 STEPS = 10
 CLASSES = 15
 ROI = 96
@@ -47,18 +47,22 @@ def main():
     # execution does 2x MACs on the two C=64 levels (structural zeros,
     # ops/packed.py), and counting those would flatter vs_baseline — the
     # reference on an A100 runs the original FLOPs.
+    # analysed at batch 1 (FLOPs are linear in batch; a sw=16 unpacked
+    # compile alongside the packed loop would exceed HBM)
     seg_ref = DiffusionSegmenter(
         module=DiffUNet(out_channels=CLASSES, dtype=jnp.bfloat16),
         num_classes=CLASSES, sample_steps=STEPS,
     )
     denoise = jax.jit(seg_ref.denoise)
-    x_t = jnp.zeros((SW_BATCH, ROI, ROI, ROI, CLASSES), jnp.float32)
-    t = jnp.zeros((SW_BATCH,), jnp.int32)
+    x1 = jnp.zeros((1, ROI, ROI, ROI, CLASSES), jnp.float32)
+    im1 = jnp.zeros((1, ROI, ROI, ROI, 1), jnp.float32)
+    t1 = jnp.zeros((1,), jnp.int32)
     try:
-        cost = denoise.lower(params, image, x_t, t).compile().cost_analysis()
-        flops_per_batch_step = float(cost["flops"])
+        cost = denoise.lower(params, im1, x1, t1).compile().cost_analysis()
+        flops_per_batch_step = float(cost["flops"]) * SW_BATCH
     except Exception:
         flops_per_batch_step = float("nan")
+    del denoise, seg_ref, x1, im1, t1
 
     # warmup / compile. NOTE: under the axon relay block_until_ready can
     # return before compute finishes; a host read of a result element is the
@@ -67,6 +71,10 @@ def main():
     _ = float(out.ravel()[0])
 
     n_iters = 5
+    # a host read every iteration: the only reliable completion barrier
+    # under the relay (block_until_ready returns early), and it keeps only
+    # one result buffer alive (queued dispatches hold all five result
+    # buffers concurrently, which does not fit HBM at sw=16).
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = sample(params, image, jax.random.key(3 + i))

@@ -55,8 +55,10 @@ def bench_ddim(module, swb, steps=10, tag=""):
 
 
 def bench_train_step(batch_size=2):
+    # pack-2: backward fits without block remat (BASELINE.md r2: 1.9x,
+    # 0.60 -> 0.32 s/step at bs 2x96^3)
     seg = DiffusionSegmenter(
-        module=DiffUNet(out_channels=C, remat=True, dtype=jnp.bfloat16),
+        module=DiffUNet(out_channels=C, pack=2, dtype=jnp.bfloat16),
         num_classes=C,
     )
     shape = (batch_size, 96, 96, 96, 1)
@@ -82,7 +84,8 @@ def bench_train_step(batch_size=2):
 def bench_whole_volume(vol_shape=(96, 192, 192)):
     """AMOS-like post-resample volume through sliding-window DDIM-10."""
     seg = DiffusionSegmenter(
-        module=DiffUNet(out_channels=C, dtype=jnp.bfloat16), num_classes=C
+        module=DiffUNet(out_channels=C, dtype=jnp.bfloat16, pack=2),
+        num_classes=C,
     )
     params = seg.init(jax.random.key(0), (8, 96, 96, 96, 1))
     infer = make_diffusion_inferer(seg, roi=(96, 96, 96), sw_batch_size=8,
@@ -98,7 +101,7 @@ def bench_whole_volume(vol_shape=(96, 192, 192)):
 
 
 if __name__ == "__main__":
-    bench_ddim(DiffUNet(out_channels=C, dtype=jnp.bfloat16), 8,
+    bench_ddim(DiffUNet(out_channels=C, dtype=jnp.bfloat16, pack=2), 16,
                tag="diff_unet")
     bench_train_step()
     bench_whole_volume()

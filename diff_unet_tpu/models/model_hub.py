@@ -54,6 +54,7 @@ def create_model(
     feature_size: int = 48,
     features: Optional[Tuple[int, ...]] = None,
     remat: bool = False,
+    pack: int = 1,
     dtype: Optional[jnp.dtype] = None,
     **_: Any,
 ):
@@ -62,7 +63,7 @@ def create_model(
         from diff_unet_tpu.models.diff_unet import DiffUNet
         kw = {"features": tuple(features)} if features else {}
         return DiffUNet(out_channels=out_channels, in_channels=in_channels,
-                        remat=remat, dtype=dtype, **kw)
+                        remat=remat, pack=pack, dtype=dtype, **kw)
     if model_name == "smooth_diff_unet":
         from diff_unet_tpu.models.smooth_diff_unet import SmoothDiffUNet
         kw = {"features": tuple(features)} if features else {}

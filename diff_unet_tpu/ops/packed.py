@@ -170,9 +170,10 @@ def packed_maxpool2(x_p: jnp.ndarray, f: int = 2,
     c = fc // f
     blocks = x_p.reshape(n, d, h, wp, f, c)
     m = jnp.max(blocks, axis=4)                      # (N, D, H, W/2, C)
+    # -inf identity (bf16 has inf): a finite finfo.min init defeats JAX's
+    # reduce_window-max gradient rule and kills reverse-mode autodiff
     m = lax.reduce_window(
-        m, -jnp.inf if m.dtype == jnp.float32 else jnp.finfo(m.dtype).min,
-        lax.max, (1, 2, 2, 1, 1), (1, 2, 2, 1, 1), "VALID",
+        m, -jnp.inf, lax.max, (1, 2, 2, 1, 1), (1, 2, 2, 1, 1), "VALID",
     )                                                # (N, D/2, H/2, W/2, C)
     if repack:
         return pack_w(m, f)
