@@ -41,7 +41,12 @@ def save_checkpoint(
         ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
         ckptr.wait_until_finished()
     else:
-        ocp.StandardCheckpointer().save(path, state, force=True)
+        # close() barriers on the atomic tmp-dir rename, which orbax
+        # finalises on a background thread even for the sync checkpointer —
+        # without it the checkpoint may not be visible immediately (matters
+        # when the process exits right after, e.g. preemption saves)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, state, force=True)
     if metadata is not None:
         with open(path.parent / (path.name + ".meta.json"), "w") as f:
             json.dump(metadata, f)
@@ -121,3 +126,31 @@ def latest_checkpoint(weights_dir, prefix: str = "epoch_") -> Optional[Path]:
     if not candidates:
         return None
     return max(candidates)[1]
+
+
+class PreemptionGuard:
+    """Checkpoint-at-next-safe-point on SIGTERM / SIGUSR1.
+
+    Preemptible TPU VMs deliver SIGTERM shortly before shutdown; the
+    reference has no preemption handling (its launcher kills the process
+    group on SIGINT, light_training/launch.py:109-111, and recovery is a
+    manual resume). The Trainer polls `requested` once per step and saves a
+    resumable `preempt` checkpoint before exiting cleanly.
+
+    Signal handlers can only be installed from the main thread; elsewhere
+    (e.g. pytest workers) the guard degrades to a manual flag.
+    """
+
+    def __init__(self, install: bool = True):
+        self.requested = False
+        self._installed = False
+        if install:
+            import signal
+            import threading
+            if threading.current_thread() is threading.main_thread():
+                for sig in (signal.SIGTERM, signal.SIGUSR1):
+                    signal.signal(sig, self._handler)
+                self._installed = True
+
+    def _handler(self, signum, frame):  # pragma: no cover - signal path
+        self.requested = True

@@ -138,6 +138,9 @@ class Engine:
         self.loss = 0.0
         self.epoch = 0
         self.wandb_id = None
+        # SIGTERM/SIGUSR1 -> save-and-exit at the next step boundary
+        # (installed lazily by Trainer.train; None outside training)
+        self.preemption = None
 
         self.dtype = jnp.bfloat16 if use_amp else None
 
@@ -398,9 +401,17 @@ class Trainer(Engine):
             for p in jax.tree_util.tree_leaves(self.state.params)
         )
         print(f"model parameters is {n_params * 4 / 1e6:.2f}M ")
+        if self.preemption is None:
+            self.preemption = ckpt_lib.PreemptionGuard()
         for epoch in range(self.start_epoch, self.max_epochs):
             self.epoch = epoch
             self.train_epoch(epoch)
+            if self.preemption.requested:
+                path = self.weights_path / "preempt"
+                self.save_model(path)
+                print(f"preemption checkpoint saved to {path}; resume with "
+                      f"model_path={path}")
+                return
             if (epoch + 1) % self.val_freq == 0:
                 dices = [
                     self.validation_step(batch)
@@ -459,6 +470,8 @@ class Trainer(Engine):
                     count += 1
                     meter.update(loss=loss)
                 prev_metrics = metrics
+                if self.preemption is not None and self.preemption.requested:
+                    break  # safe point: state is consistent post-step
         if prev_metrics is not None:  # drain the lagged read
             loss = float(prev_metrics["loss"])
             if not np.isfinite(loss):
@@ -490,6 +503,26 @@ class Trainer(Engine):
                 self.save_model(self.weights_path / f"best_{mean_dice:.4f}")
         print(f"mean_dice : {mean_dice:.4f}")
         self.logger.log({"mean_dice": mean_dice}, step=epoch)
+
+
+class Predictor(Engine):
+    """Checkpoint + jitted whole-volume inference, no dataset attached —
+    the single-volume serving engine behind predict.py (the reference has
+    no datalist-free inference entry; its Tester iterates the validation
+    set, test.py:101-193)."""
+
+    def __init__(self, **kwargs) -> None:
+        kwargs.pop("mode", None)
+        super().__init__(mode="test", **kwargs)
+        shape = (1, self.spatial_size, self.image_size, self.image_size, 1)
+        self.state = create_train_state(
+            self.seg, jax.random.key(self.seed), shape, make_optimizer()
+        )
+        if self.model_path:
+            self.state, meta = ckpt_lib.restore_params(
+                self.model_path, self.state
+            )
+            self.epoch = meta.get("epoch", 0)
 
 
 class Tester(Engine):

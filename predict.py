@@ -1,0 +1,72 @@
+"""Single-volume serving entry point.
+
+`python predict.py --config cfg/<ds>/test.yaml input=/path/ct.nii.gz \
+     output=/path/seg.nii.gz`
+
+Loads a checkpoint (`model_path`), preprocesses one CT volume exactly like
+the evaluation pipeline (intensity window -> RAS -> spacing resample), runs
+sliding-window DDIM inference, maps the argmax segmentation back to the
+class ids of classes.yaml, and writes a NIfTI next to the input affine.
+
+The reference has no single-volume CLI (its Tester only iterates the
+validation datalist, test.py:101-193); this is the serving-shaped
+complement built on the same jitted inference program.
+"""
+import warnings
+from pathlib import Path
+
+import numpy as np
+
+import jax
+
+warnings.filterwarnings("ignore")
+
+
+def predict_volume(engine, image_path, output_path=None):
+    """Run whole-volume inference for one NIfTI file; returns the labelmap
+    (D, H, W) int16 in the preprocessed (RAS, resampled) grid."""
+    import jax.numpy as jnp
+
+    from diff_unet_tpu.data import nifti
+    from diff_unet_tpu.data import transforms as T
+
+    img = nifti.to_ras(nifti.read_nifti(image_path, dtype=np.float32))
+    vol, _ = T.deterministic_preprocess(
+        np.asarray(img.data), img.spacing, crop_fg=False)
+    vol_j = jnp.asarray(vol[..., None], jnp.float32)
+
+    _, binarized = engine.infer(
+        engine.state.params, vol_j, jax.random.key(engine.seed))
+    onehot = np.asarray(binarized)                       # (D, H, W, C)
+    # channel c corresponds to the c-th SORTED class id (convert_labels)
+    ids = np.asarray(sorted(engine.class_names), np.int16)
+    # argmax over predicted classes; background (no channel active) -> 0
+    best = onehot.argmax(-1)
+    labels = np.where(onehot.max(-1) > 0, ids[best], 0).astype(np.int16)
+
+    if output_path is not None:
+        target = (1.5, 1.5, 2.0)
+        affine = np.diag([*target, 1.0])
+        affine[:3, 3] = img.affine[:3, 3]
+        nifti.write_nifti(output_path, labels, affine)
+        print(f"segmentation written to {output_path}")
+    return labels
+
+
+def main():
+    from diff_unet_tpu.engine.engine import Predictor
+    from diff_unet_tpu.utils.config import parse_args
+
+    cfg = parse_args()
+    kwargs = {k: v for k, v in cfg.items() if not k.startswith("__")}
+    for legacy in ("device", "device_ids", "remove_bg"):
+        kwargs.pop(legacy, None)
+    image_path = kwargs.pop("input")
+    output_path = kwargs.pop("output", None) or (
+        str(Path(image_path).with_suffix("")) + "_seg.nii.gz")
+    engine = Predictor(**kwargs)
+    predict_volume(engine, image_path, output_path)
+
+
+if __name__ == "__main__":
+    main()

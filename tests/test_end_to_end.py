@@ -291,3 +291,22 @@ def test_include_background_training(workspace, tmp_path, monkeypatch):
     assert trainer.num_classes == 3  # background included
     trainer.train()
     assert np.isfinite(trainer.loss)
+
+
+def test_predict_single_volume(workspace, tmp_path, monkeypatch):
+    """predict.py surface: datalist-free Predictor engine + one NIfTI in,
+    labelmap NIfTI out (serving-shaped entry; no reference analogue)."""
+    root, data, classes = workspace
+    monkeypatch.chdir(tmp_path)
+    from predict import predict_volume
+    from diff_unet_tpu.data.nifti import read_nifti
+    from diff_unet_tpu.engine.engine import Predictor
+
+    engine = Predictor(classes=str(classes), **COMMON)
+    out_path = tmp_path / "seg.nii.gz"
+    labels = predict_volume(engine, data / "img_0.nii.gz", out_path)
+    assert labels.dtype == np.int16
+    assert out_path.exists()
+    img = read_nifti(out_path)
+    assert img.data.shape == labels.shape
+    assert set(np.unique(labels)) <= {0, 1, 2}

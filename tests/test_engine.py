@@ -114,3 +114,62 @@ def test_graft_entry_dryrun():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_preemption_checkpoint(tmp_path, monkeypatch):
+    """SIGUSR1-style preemption: training stops at the next step boundary
+    and saves a resumable `preempt` checkpoint (beyond-reference capability;
+    the reference's only recovery is manual resume, train.py:152-164)."""
+    import json
+
+    import numpy as np
+
+    from diff_unet_tpu.data.nifti import write_nifti
+    from diff_unet_tpu.engine.checkpoint import PreemptionGuard
+    from diff_unet_tpu.engine.engine import Trainer
+
+    root = tmp_path / "ds"
+    data = root / "data"
+    data.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    items = {"training": [], "validation": []}
+    for i in range(2):
+        img = rng.randint(-200, 300, (16, 16, 16)).astype(np.int16)
+        lab = rng.randint(0, 3, (16, 16, 16)).astype(np.int16)
+        affine = np.diag([1.5, 1.5, 2.0, 1.0])
+        write_nifti(data / f"img_{i}.nii.gz", img, affine)
+        write_nifti(data / f"lab_{i}.nii.gz", lab, affine)
+        entry = {"image": f"img_{i}.nii.gz", "label": f"lab_{i}.nii.gz"}
+        items["training"].append(entry)
+        items["validation"].append(entry)
+    with open(data / "dataset.json", "w") as f:
+        json.dump(items, f)
+    classes = root / "classes.yaml"
+    classes.write_text("0: background\n1: a\n2: b\n")
+
+    monkeypatch.chdir(tmp_path)
+    trainer = Trainer(
+        model_name="diff_unet", data_path=str(data), classes=str(classes),
+        max_epochs=50, val_freq=100, save_freq=100, lr=1e-3,
+        image_size=16, spatial_size=16, batch_size=2, sw_batch_size=2,
+        timesteps=50, sample_steps=2, features=(4, 4, 8, 16, 32, 4),
+        num_workers=1, use_amp=False, log_dir="preempt",
+    )
+    # pre-armed guard (signal handlers need the main thread; the flag is
+    # what the loop polls)
+    trainer.preemption = PreemptionGuard(install=False)
+    trainer.preemption.requested = True
+    trainer.train()
+    ckpt = tmp_path / "logs/preempt/weights/preempt"
+    assert ckpt.exists()
+    assert trainer.epoch == 0  # stopped immediately, not after 50 epochs
+
+    resumed = Trainer(
+        model_name="diff_unet", data_path=str(data), classes=str(classes),
+        max_epochs=1, val_freq=100, save_freq=100, lr=1e-3,
+        image_size=16, spatial_size=16, batch_size=2, sw_batch_size=2,
+        timesteps=50, sample_steps=2, features=(4, 4, 8, 16, 32, 4),
+        num_workers=1, use_amp=False, log_dir="preempt2",
+        model_path=str(ckpt),
+    )
+    assert resumed.start_epoch == 1
