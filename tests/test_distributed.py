@@ -56,3 +56,56 @@ def test_global_batch_from_local_single_process():
     g = global_batch_from_local(mesh, {"x": x})["x"]
     assert g.shape == (8, 4)
     np.testing.assert_array_equal(np.asarray(g), x)
+
+
+def test_multiprocess_rendezvous_and_collective(tmp_path):
+    """REAL multi-process jax.distributed: the launcher spawns two
+    processes (2 virtual CPU devices each) that rendezvous through
+    auto_initialize's env conventions, build the 4-device pod mesh, and
+    run a cross-process global-sum collective — the capability of
+    light_training/launch.py:69-117 + trainer.py:97-100 end to end."""
+    import sys
+    import textwrap
+    from pathlib import Path
+
+    from diff_unet_tpu.parallel.launch import launch
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    worker = tmp_path / "worker.py"
+    worker.write_text(textwrap.dedent(f"""
+        import os
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=2")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp
+        import numpy as np
+        import sys
+        sys.path.insert(0, {repo!r})
+        from diff_unet_tpu.parallel import (
+            auto_initialize, create_pod_mesh, global_batch_from_local)
+
+        assert auto_initialize() is True
+        assert jax.process_count() == 2
+        assert len(jax.devices()) == 4
+        mesh = create_pod_mesh()
+        assert mesh.devices.size == 4
+
+        pid = jax.process_index()
+        local = np.full((2, 4), float(pid + 1), np.float32)
+        g = global_batch_from_local(mesh, local)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        total = jax.jit(
+            lambda x: jnp.sum(x),
+            out_shardings=NamedSharding(mesh, P()),
+        )(g)
+        # ranks contribute 2*4*1 and 2*4*2 -> 24
+        np.testing.assert_allclose(np.asarray(total), 24.0)
+        print("WORKER_OK", pid)
+    """))
+
+    results = launch([sys.executable, str(worker)], nprocs=2, timeout=240)
+    for r in results:
+        assert "WORKER_OK" in r.stdout, r.stdout
