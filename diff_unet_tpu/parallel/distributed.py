@@ -48,7 +48,10 @@ def auto_initialize(
     `jax.devices()` spans the full pod and `jax.process_index()` replaces
     the reference's RANK checks (trainer.py:258-344 rank-0 gating).
     """
-    if jax.process_count() > 1:  # already initialized
+    # NOTE: must not touch jax.process_count()/jax.devices() here — they
+    # initialise the XLA backend, after which initialize() refuses to run.
+    from jax._src import distributed as _dist
+    if _dist.global_state.client is not None:  # already initialized
         return False
     coord = (coordinator_address
              or os.environ.get("JAX_COORDINATOR_ADDRESS"))
