@@ -1,0 +1,183 @@
+"""HybridMIM self-supervised pretraining model for the BasicUNet encoder.
+
+Capability parity with the reference's pretraining `BasicUNet`
+(models/basic_unet/pretrained/basic_unet.py:193-416), the model whose
+checkpoints (`encoder.pt`) seed DiffUNet's image embedder
+(train.py:166-176):
+
+- the input is block-masked (patch 16^3, ratio 0.4, utils.py mask_func),
+- the encoder (conv_0 + 4 Down stages — the exact BasicUNetEncoder weight
+  layout) embeds the masked volume,
+- a decoder reconstructs a statically selected sub-region
+  (`wrap_feature_selection` boxes per pyramid level, basic_unet.py:303-326),
+- three pretraining heads on the bottom feature map: 9-way masked-patch
+  count per 2x2x2 patch region (`pred_mask_region`), 8-way per-position
+  mask flags (`pred_mask_region_position`), and a 384-d contrastive
+  projection compared against a second, stop-gradient encoder pass
+  (`contrast_learning_head`, basic_unet.py:378-394).
+
+Deviations (documented): explicit PRNG key instead of torch global RNG;
+dropout omitted (the reference's 0.1 conv dropout is a pretraining
+regulariser, not live-path behaviour); outputs returned as a dict of
+arrays with labels computed in-graph.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diff_unet_tpu.ops.blocks import Down, TwoConv
+from diff_unet_tpu.ops.mim import block_mask
+
+Box = Tuple[Tuple[int, int, int], Tuple[int, int, int]]
+
+
+def _scale_box(box: Box, factor: int) -> Box:
+    lo, hi = box
+    return (tuple(v * factor for v in lo), tuple(v * factor for v in hi))
+
+
+def crop_box(x: jnp.ndarray, box: Box) -> jnp.ndarray:
+    """wrap_feature_selection (basic_unet.py:336-338), channel-last."""
+    lo, hi = box
+    return x[:, lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2], :]
+
+
+def mask_region_labels(patch_keep: jnp.ndarray, regions_per_dim: int
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, gd, gh, gw) keep-grid -> per-2x2x2-region labels:
+    counts (B, R) int 0..8 (get_mask_labels) and position flags (B, R, 8)
+    (get_mask_labelsv2)."""
+    b = patch_keep.shape[0]
+    r = regions_per_dim
+    g = patch_keep.shape[1]
+    s = g // r
+    masked = 1.0 - patch_keep
+    m = masked.reshape(b, r, s, r, s, r, s)
+    m = m.transpose(0, 1, 3, 5, 2, 4, 6).reshape(b, r ** 3, s ** 3)
+    counts = jnp.sum(m, axis=-1).astype(jnp.int32)
+    return counts, m
+
+
+class HybridMIMBasicUNet(nn.Module):
+    """Masked-image-modeling pretrainer; `params["conv_0"|"down_*"]` is the
+    BasicUNetEncoder subtree (checkpoint-compatible with DiffUNet's
+    embed_model)."""
+    in_channels: int = 1
+    out_channels: int = 1
+    features: Sequence[int] = (32, 32, 64, 128, 256, 32)
+    select_region: Box = ((1, 1, 1), (3, 3, 3))   # bottom-level box
+    mask_patch: int = 16
+    mask_ratio: float = 0.4
+    contrast_dim: int = 384
+    pretrained: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, rng: Optional[jax.Array] = None):
+        fea = tuple(self.features)
+        depth = 4
+
+        def encoder():
+            convs = [TwoConv(fea[0], use_temb=False, dtype=self.dtype,
+                             name="conv_0")]
+            downs = [Down(fea[i + 1], use_temb=False, dtype=self.dtype,
+                          name=f"down_{i + 1}") for i in range(depth)]
+            def run(h):
+                outs = [convs[0](h)]
+                for d in downs:
+                    outs.append(d(outs[-1]))
+                return outs
+            return run
+
+        run_encoder = encoder()
+
+        def run_decoder(outs):
+            """Region-cropped reconstruction decoder (basic_unet.py:340-347):
+            out channels fea[3], fea[2], fea[1], fea[0], then a 1x1 head."""
+            h = crop_box(outs[-1], self.select_region)
+            for i in range(depth):
+                lvl = depth - 1 - i
+                skip = crop_box(outs[lvl],
+                                _scale_box(self.select_region, 2 ** (i + 1)))
+                h = _UpCatLite(fea[lvl], dtype=self.dtype,
+                               name=f"up_{i}")(h, skip)
+            return nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype,
+                           name="decoder_pred")(h)
+
+        if not self.pretrained:
+            return run_decoder(run_encoder(x))
+
+        assert rng is not None, "pretraining forward needs a PRNG key"
+        b, d, hgt, wid, _ = x.shape
+        keep = block_mask((d, hgt, wid), rng, self.mask_patch,
+                          self.mask_ratio)
+        x_masked = x * keep[None, :, :, :, None].astype(x.dtype)
+        gd = d // self.mask_patch
+        patch_keep = keep.reshape(gd, self.mask_patch,
+                                  hgt // self.mask_patch, self.mask_patch,
+                                  wid // self.mask_patch, self.mask_patch)
+        patch_keep = patch_keep[:, 0, :, 0, :, 0][None].repeat(b, axis=0)
+        regions = gd // 2
+        counts, positions = mask_region_labels(patch_keep, regions)
+
+        outs = run_encoder(x_masked)
+        bottom = outs[-1]
+        logits = run_decoder(outs)
+        region_at_input = _scale_box(self.select_region, 2 ** depth)
+        local_images = crop_box(x, region_at_input)
+
+        # ---- pretraining heads on the bottom feature ----
+        bd = bottom.shape[1]
+        win = bd // regions
+        windows = bottom.reshape(b, regions, win, regions, win, regions,
+                                 win, bottom.shape[-1])
+        windows = windows.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        region_feat = windows.reshape(
+            b, regions ** 3, win ** 3, bottom.shape[-1]).mean(axis=2)
+
+        mask_region_pred = nn.Dense(9, dtype=self.dtype,
+                                    name="pred_mask_region")(region_feat)
+        mask_position_pred = nn.Dense(
+            8, dtype=self.dtype, name="pred_mask_region_position"
+        )(region_feat)
+
+        contrast_head = nn.Dense(self.contrast_dim, dtype=self.dtype,
+                                 name="contrast_learning_head")
+        pooled = bottom.reshape(b, -1, bottom.shape[-1]).mean(axis=1)
+        contrast_1 = contrast_head(pooled)
+        # second pass, gradient-isolated (reference's torch.no_grad pass,
+        # basic_unet.py:381-382)
+        bottom_2 = jax.lax.stop_gradient(run_encoder(x_masked)[-1])
+        pooled_2 = bottom_2.reshape(b, -1, bottom_2.shape[-1]).mean(axis=1)
+        contrast_2 = contrast_head(pooled_2)
+
+        return {
+            "logits": logits,
+            "images": local_images,
+            "pred_mask_region": mask_region_pred,
+            "pred_mask_region_position": mask_position_pred,
+            "mask_labels": counts,
+            "mask_position_labels": positions,
+            "mask": 1.0 - patch_keep.reshape(b, -1),
+            "contrast_pred_1": contrast_1,
+            "contrast_pred_2": contrast_2,
+        }
+
+
+class _UpCatLite(nn.Module):
+    """Deconv-2x + concat cropped skip + TwoConv (the reference decoder's
+    UpCat at basic_unet.py:288-292, without temb)."""
+    out_channels: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, skip):
+        h = nn.ConvTranspose(self.out_channels, (2, 2, 2), strides=(2, 2, 2),
+                             dtype=self.dtype, name="upsample")(x)
+        h = jnp.concatenate([skip, h], axis=-1)
+        return TwoConv(self.out_channels, use_temb=False, dtype=self.dtype,
+                       name="convs")(h)
