@@ -42,7 +42,7 @@ images = np.stack([c[0] for c in cases])[..., None]
 labels_int = np.stack([c[1] for c in cases])
 onehot = np.stack([(labels_int == i).astype(np.float32) for i in (1, 2)], -1)
 
-seg = DiffusionSegmenter(module=DiffUNet(out_channels=C, remat=True, dtype=jnp.bfloat16),
+seg = DiffusionSegmenter(module=DiffUNet(out_channels=C, pack=2, dtype=jnp.bfloat16),
                          num_classes=C, sample_steps=10)
 state = create_train_state(seg, jax.random.key(0), (4, S, S, S, 1),
                            make_optimizer(lr=3e-4, weight_decay=1e-5))
