@@ -107,5 +107,5 @@ if __name__ == "__main__":
     bench_whole_volume()
     bench_ddim(
         DiffSwinUNETR(out_channels=C, image_size=(96, 96, 96),
-                      dtype=jnp.bfloat16), 2, tag="diff_swin_unetr",
+                      dtype=jnp.bfloat16), 8, tag="diff_swin_unetr",
     )
