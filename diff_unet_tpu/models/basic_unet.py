@@ -150,19 +150,29 @@ class _NormParams(nn.Module):
 
 
 class PackedConvNormAct(nn.Module):
-    """ConvNormAct executed in pack-f space (param tree identical)."""
+    """ConvNormAct executed in pack-f space (param tree identical).
+
+    quantize=True runs the conv on the W8A8 int8 MXU path
+    (pk.packed_conv_int8, ~2x the bf16 rate on v5e) — an inference-only
+    option; params stay float and checkpoints are unchanged."""
     features: int
     in_features: int
     f: int = 2
     negative_slope: float = 0.1
     kernel_size: int = 3
+    quantize: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x_p, in_groups=None):
         k, b = _ConvParams(self.features, self.in_features,
                            kernel=(self.kernel_size,) * 3, name="conv")()
-        x = pk.packed_conv(x_p, k, b, self.f, in_groups, dtype=self.dtype)
+        if self.quantize:
+            x = pk.packed_conv_int8(x_p, k, b, self.f, in_groups,
+                                    out_dtype=self.dtype or x_p.dtype)
+        else:
+            x = pk.packed_conv(x_p, k, b, self.f, in_groups,
+                               dtype=self.dtype)
         scale, bias = _NormParams(self.features, name="norm")()
         x = pk.packed_instance_norm(x, scale, bias, self.f, dtype=self.dtype)
         return nn.leaky_relu(x, negative_slope=self.negative_slope)
@@ -175,12 +185,14 @@ class PackedTwoConv(nn.Module):
     f: int = 2
     use_temb: bool = True
     negative_slope: float = 0.1
+    quantize: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x_p, temb=None, in_groups=None):
         x = PackedConvNormAct(self.features, self.in_features, self.f,
-                              self.negative_slope, dtype=self.dtype,
+                              self.negative_slope, quantize=self.quantize,
+                              dtype=self.dtype,
                               name="conv_0")(x_p, in_groups)
         if self.use_temb and temb is not None:
             proj = nn.Dense(self.features, dtype=self.dtype,
@@ -188,7 +200,8 @@ class PackedTwoConv(nn.Module):
             proj_p = jnp.tile(proj, (1, self.f))
             x = x + proj_p[:, None, None, None, :].astype(x.dtype)
         x = PackedConvNormAct(self.features, self.features, self.f,
-                              self.negative_slope, dtype=self.dtype,
+                              self.negative_slope, quantize=self.quantize,
+                              dtype=self.dtype,
                               name="conv_1")(x)
         return x
 
@@ -199,11 +212,13 @@ class _PackedDownConvs(nn.Module):
     features: int
     in_features: int
     f: int = 2
+    quantize: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x_p, temb):
         return PackedTwoConv(self.features, self.in_features, self.f,
+                             quantize=self.quantize,
                              dtype=self.dtype, name="convs")(x_p, temb)
 
 
@@ -224,6 +239,7 @@ class _PackedUpCatEnter(nn.Module):
     up_features: int
     skip_features: int
     f: int = 2
+    quantize: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -236,6 +252,7 @@ class _PackedUpCatEnter(nn.Module):
                                   self.f)
         return PackedTwoConv(
             self.features, self.skip_features + self.up_features, self.f,
+            quantize=self.quantize,
             dtype=self.dtype, name="convs")(cat, temb, groups)
 
 
@@ -245,6 +262,7 @@ class _PackedUpCatPacked(nn.Module):
     up_features: int
     skip_features: int
     f: int = 2
+    quantize: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -258,6 +276,7 @@ class _PackedUpCatPacked(nn.Module):
                                   self.f)
         return PackedTwoConv(
             self.features, self.skip_features + self.up_features, self.f,
+            quantize=self.quantize,
             dtype=self.dtype, name="convs")(cat, temb, groups)
 
 
@@ -274,6 +293,7 @@ class BasicUNetDenoiserPacked(nn.Module):
     features: Sequence[int] = DEFAULT_FEATURES
     negative_slope: float = 0.1
     pack: int = 2
+    quantize: bool = False   # W8A8 int8 convs at the packed levels
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -292,11 +312,13 @@ class BasicUNetDenoiserPacked(nn.Module):
             stem_groups = pk.default_groups(c_x, f)
             c_in = c_x
 
-        x0 = PackedTwoConv(fea[0], c_in, f, dtype=self.dtype,
+        x0 = PackedTwoConv(fea[0], c_in, f, quantize=self.quantize,
+                           dtype=self.dtype,
                            name="conv_0")(x_p, temb, stem_groups)
         if embeddings is not None:
             x0 = x0 + embeddings[0]
-        x1 = _PackedDownConvs(fea[1], fea[0], f, dtype=self.dtype,
+        x1 = _PackedDownConvs(fea[1], fea[0], f, quantize=self.quantize,
+                              dtype=self.dtype,
                               name="down_1")(pk.packed_maxpool2(x0, f), temb)
         if embeddings is not None:
             x1 = x1 + embeddings[1]
@@ -317,8 +339,10 @@ class BasicUNetDenoiserPacked(nn.Module):
         u3 = UpCat(fea[2], fea[3] // 2, dtype=self.dtype,
                    name="upcat_3")(u4, x2, temb)
         u2 = _PackedUpCatEnter(fea[1], fea[2] // 2, fea[1], f,
+                               quantize=self.quantize,
                                dtype=self.dtype, name="upcat_2")(u3, x1, temb)
         u1 = _PackedUpCatPacked(fea[5], fea[1], fea[0], f,
+                                quantize=self.quantize,
                                 dtype=self.dtype, name="upcat_1")(u2, x0, temb)
 
         fk, fb = _ConvParams(self.out_channels, fea[5],
@@ -339,6 +363,7 @@ class BasicUNetEncoderPacked(nn.Module):
     in_channels: int = 1
     negative_slope: float = 0.1
     pack: int = 2
+    quantize: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -346,9 +371,12 @@ class BasicUNetEncoderPacked(nn.Module):
         fea = tuple(self.features)
         self.conv_0 = PackedTwoConv(
             fea[0], self.in_channels, f, use_temb=False,
-            negative_slope=self.negative_slope, dtype=self.dtype,
+            negative_slope=self.negative_slope, quantize=self.quantize,
+            dtype=self.dtype,
         )
-        self.down_1 = _PackedDownConvs(fea[1], fea[0], f, dtype=self.dtype)
+        self.down_1 = _PackedDownConvs(fea[1], fea[0], f,
+                                       quantize=self.quantize,
+                                       dtype=self.dtype)
         self.down_2 = _PlainDownConvs(fea[2], dtype=self.dtype)
         self.down_3 = Down(fea[3], use_temb=False, dtype=self.dtype)
         self.down_4 = Down(fea[4], use_temb=False, dtype=self.dtype)

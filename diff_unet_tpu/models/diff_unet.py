@@ -35,6 +35,7 @@ class DiffUNet(nn.Module):
     features: Sequence[int] = DEFAULT_FEATURES
     remat: bool = False   # block-level activation rematerialisation
     pack: int = 1         # 2 = channel-packed execution (ops/packed.py)
+    quantize: bool = False  # W8A8 int8 packed convs (inference-only option)
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -43,7 +44,7 @@ class DiffUNet(nn.Module):
             # layout (outputs feed the packed denoiser with no repack)
             self.embed_model = BasicUNetEncoderPacked(
                 features=self.features, in_channels=self.in_channels,
-                pack=self.pack, dtype=self.dtype,
+                pack=self.pack, quantize=self.quantize, dtype=self.dtype,
             )
         else:
             self.embed_model = BasicUNetEncoder(
@@ -54,7 +55,7 @@ class DiffUNet(nn.Module):
             # are interchangeable (see ops/packed.py)
             self.model = BasicUNetDenoiserPacked(
                 out_channels=self.out_channels, features=self.features,
-                pack=self.pack, dtype=self.dtype,
+                pack=self.pack, quantize=self.quantize, dtype=self.dtype,
             )
         else:
             self.model = BasicUNetDenoiser(

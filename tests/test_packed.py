@@ -188,3 +188,42 @@ def test_packed_ddim_sample_matches_unpacked():
                                 noise=noise)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_packed_conv_int8_close_to_float():
+    """W8A8 packed conv tracks the float conv within quantization error
+    (per-tensor act scale, per-channel weight scales)."""
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 8, 8, 8, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 3, 5).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.randn(5).astype(np.float32) * 0.1)
+    xp = pk.pack_w(x, F)
+    want = np.asarray(pk.packed_conv(xp, w, b, F))
+    got = np.asarray(pk.packed_conv_int8(xp, w, b, F,
+                                         out_dtype=jnp.float32))
+    scale = np.abs(want).max()
+    err = np.abs(got - want).max() / scale
+    assert err < 0.02, err
+    # strong correlation
+    c = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert c > 0.999, c
+
+
+def test_quantized_model_correlates_with_float():
+    """DiffUNet(pack=2, quantize=True) denoise logits track the float
+    packed model closely (inference-only int8 option)."""
+    from diff_unet_tpu.models import DiffUNet
+
+    feats = (8, 8, 16, 32, 64, 8)
+    plain = DiffUNet(out_channels=3, features=feats, pack=2)
+    quant = DiffUNet(out_channels=3, features=feats, pack=2, quantize=True)
+    image = jax.random.normal(jax.random.key(1), (2, 16, 16, 16, 1))
+    x = jax.random.normal(jax.random.key(2), (2, 16, 16, 16, 3))
+    t = jnp.asarray([7, 91])
+    params = plain.init(jax.random.key(0), image, x, t)
+    want = np.asarray(plain.apply(params, image, x, t))
+    got = np.asarray(quant.apply(params, image, x, t))
+    c = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert c > 0.99, c
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 0.25, rel
