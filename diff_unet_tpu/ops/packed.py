@@ -265,9 +265,13 @@ def packed_conv_int8(
     f32 rescale + bias epilogue. Structural-zero weight blocks quantize to
     exact zeros, so packed-space semantics are preserved.
     """
-    xf = x_p.astype(jnp.float32)
-    sa = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
-    xq = jnp.clip(jnp.round(xf / sa), -127, 127).astype(jnp.int8)
+    # quantize in the input dtype: bf16 represents integers <= 256 exactly,
+    # so round/clip to +-127 is exact and no f32 copy of the (large)
+    # activation tensor is materialised
+    sa = (jnp.maximum(jnp.max(jnp.abs(x_p.astype(jnp.float32))), 1e-8)
+          / 127.0)
+    xq = jnp.clip(jnp.round(x_p / sa.astype(x_p.dtype)),
+                  -127, 127).astype(jnp.int8)
 
     k = assemble_packed_kernel(w.astype(jnp.float32), f, in_groups)
     sw = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2, 3)), 1e-12) / 127.0
