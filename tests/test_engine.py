@@ -173,3 +173,80 @@ def test_preemption_checkpoint(tmp_path, monkeypatch):
         model_path=str(ckpt),
     )
     assert resumed.start_epoch == 1
+
+
+def test_infer_bucketed_program_reuse(tmp_path, monkeypatch):
+    """Two volumes of different shapes in the same window-grid bucket must
+    reuse ONE compiled sliding-window program (VERDICT r3 ask #1)."""
+    from diff_unet_tpu.engine.engine import Engine
+
+    monkeypatch.chdir(tmp_path)
+    eng = Engine(
+        model_name="diff_unet", image_size=16, spatial_size=16,
+        sw_batch_size=2, timesteps=50, sample_steps=2,
+        features=(4, 4, 8, 16, 32, 4), use_amp=False, num_devices=1,
+        mode="test",
+    )
+    params = eng.seg.init(jax.random.key(0), (1, 16, 16, 16, 1))
+    rng = jax.random.key(1)
+
+    out_shapes = []
+    for shape in [(20, 20, 20), (18, 19, 17)]:   # same bucket (28, 28, 28)
+        vol = jax.random.normal(jax.random.key(2), (*shape, 1))
+        logits, binary = eng.infer(params, vol, rng)
+        assert logits.shape == (*shape, eng.num_classes)
+        assert np.isfinite(np.asarray(logits)).all()
+        out_shapes.append(binary.shape)
+    assert len(eng._infer_cache) == 1, "bucketed shapes must share a program"
+
+    vol = jax.random.normal(jax.random.key(3), (16, 16, 16, 1))
+    eng.infer(params, vol, rng)                  # different bucket
+    assert len(eng._infer_cache) == 2
+
+
+def test_ema_restore_and_eval_path(tmp_path):
+    """Train with ema_rate, checkpoint, restore with use_ema=True: the
+    evaluated params must equal the EMA tree, not the raw params
+    (VERDICT r3 ask #4; reference train_util.py:228-255)."""
+    from diff_unet_tpu.engine import checkpoint as ckpt_lib
+
+    seg = _make_seg()
+    state = create_train_state(
+        seg, jax.random.key(0), SHAPE, make_optimizer(lr=1e-2),
+        ema_rate=0.5,
+    )
+    step = make_train_step(seg, CompositeLoss("mse", C), donate=False,
+                           ema_rate=0.5)
+    batch = _make_batch(jax.random.key(1))
+    for _ in range(3):
+        state, _m = step(state, batch, jax.random.key(2))
+    # EMA must actually lag the raw params
+    d_raw = jax.tree_util.tree_leaves(state.params)[0]
+    d_ema = jax.tree_util.tree_leaves(state.ema_params)[0]
+    assert not np.allclose(np.asarray(d_raw), np.asarray(d_ema))
+
+    path = tmp_path / "ck"
+    ckpt_lib.save_checkpoint(path, state, {"epoch": 3})
+
+    eval_state = create_train_state(seg, jax.random.key(9), SHAPE,
+                                    make_optimizer())
+    restored, meta = ckpt_lib.restore_params(path, eval_state, use_ema=True)
+    assert meta["epoch"] == 3
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # raw restore still selects the raw params
+    restored_raw, _ = ckpt_lib.restore_params(path, eval_state)
+    for a, b in zip(jax.tree_util.tree_leaves(restored_raw.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a checkpoint trained without EMA refuses use_ema loudly
+    state_no = create_train_state(seg, jax.random.key(0), SHAPE,
+                                  make_optimizer())
+    path2 = tmp_path / "ck_noema"
+    ckpt_lib.save_checkpoint(path2, state_no, {})
+    import pytest
+    with pytest.raises(ValueError, match="ema"):
+        ckpt_lib.restore_params(path2, eval_state, use_ema=True)
