@@ -90,6 +90,34 @@ def main():
     else:
         baseline = float("nan")
 
+    # opt-in W8A8 int8 serving rate (reported as extra fields; bf16 stays
+    # the headline value for apples-to-apples honesty). sw=8: the int8
+    # path's transient int8 activation copies do not fit HBM at sw=16.
+    int8_steps = None
+    try:
+        from diff_unet_tpu.engine.quantize import quantize_inference_params
+
+        del out
+        seg_q = DiffusionSegmenter(
+            module=DiffUNet(out_channels=CLASSES, dtype=jnp.bfloat16,
+                            pack=2, quantize=True),
+            num_classes=CLASSES, sample_steps=STEPS,
+        )
+        image_q = image[:8]
+        merged = quantize_inference_params(
+            seg_q, params, calibration_images=[image_q[:2]])
+        sample_q = jax.jit(seg_q.ddim_sample)
+        out_q = sample_q(merged, image_q, jax.random.key(2))
+        _ = float(out_q.ravel()[0])
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            out_q = sample_q(merged, image_q, jax.random.key(3 + i))
+            _ = float(out_q.ravel()[0])
+        int8_elapsed = time.perf_counter() - t0
+        int8_steps = 8 * STEPS * n_iters / int8_elapsed
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "ddim_denoise_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 2),
@@ -101,6 +129,9 @@ def main():
         "flops_per_step": flops_per_step if baseline == baseline else None,
         "sw_batch": SW_BATCH, "steps": STEPS, "classes": CLASSES,
         "seconds_per_window_batch": round(elapsed / n_iters, 4),
+        "int8_steps_per_sec": round(int8_steps, 2) if int8_steps else None,
+        "int8_sw_batch": 8,
+        "int8_mode": "offline W8A8, calibrated static act scales",
     }))
 
 

@@ -48,7 +48,8 @@ class DiffUNet(nn.Module):
             )
         else:
             self.embed_model = BasicUNetEncoder(
-                features=self.features, remat=self.remat, dtype=self.dtype
+                features=self.features, remat=self.remat,
+                quantize=self.quantize, dtype=self.dtype
             )
         if self.pack > 1:
             # parameter tree identical to the unpacked denoiser; checkpoints
@@ -60,7 +61,7 @@ class DiffUNet(nn.Module):
         else:
             self.model = BasicUNetDenoiser(
                 out_channels=self.out_channels, features=self.features,
-                remat=self.remat, dtype=self.dtype,
+                remat=self.remat, quantize=self.quantize, dtype=self.dtype,
             )
 
     def __call__(self, image, x, t):

@@ -113,14 +113,29 @@ class HybridMIMBasicUNet(nn.Module):
 
         assert rng is not None, "pretraining forward needs a PRNG key"
         b, d, hgt, wid, _ = x.shape
-        keep = block_mask((d, hgt, wid), rng, self.mask_patch,
-                          self.mask_ratio)
-        x_masked = x * keep[None, :, :, :, None].astype(x.dtype)
         gd = d // self.mask_patch
-        patch_keep = keep.reshape(gd, self.mask_patch,
-                                  hgt // self.mask_patch, self.mask_patch,
-                                  wid // self.mask_patch, self.mask_patch)
-        patch_keep = patch_keep[:, 0, :, 0, :, 0][None].repeat(b, axis=0)
+        if gd % 2 != 0:
+            raise ValueError(
+                f"HybridMIM needs an even patch grid per dim (got {gd} = "
+                f"{d}/{self.mask_patch}): the 9-way/8-way heads assume "
+                "2x2x2-patch regions (reference get_mask_labels(v2))"
+            )
+
+        def masked_view(key):
+            """Per-sample block masks (the reference's mask_func draws an
+            independent mask per sample)."""
+            keeps = jax.vmap(
+                lambda k: block_mask((d, hgt, wid), k, self.mask_patch,
+                                     self.mask_ratio)
+            )(jax.random.split(key, b))                     # (B, D, H, W)
+            xm = x * keeps[..., None].astype(x.dtype)
+            pk = keeps.reshape(b, gd, self.mask_patch,
+                               hgt // self.mask_patch, self.mask_patch,
+                               wid // self.mask_patch, self.mask_patch)
+            return xm, pk[:, :, 0, :, 0, :, 0]
+
+        rng_1, rng_2 = jax.random.split(rng)
+        x_masked, patch_keep = masked_view(rng_1)
         regions = gd // 2
         counts, positions = mask_region_labels(patch_keep, regions)
 
@@ -149,9 +164,14 @@ class HybridMIMBasicUNet(nn.Module):
                                  name="contrast_learning_head")
         pooled = bottom.reshape(b, -1, bottom.shape[-1]).mean(axis=1)
         contrast_1 = contrast_head(pooled)
-        # second pass, gradient-isolated (reference's torch.no_grad pass,
-        # basic_unet.py:381-382)
-        bottom_2 = jax.lax.stop_gradient(run_encoder(x_masked)[-1])
+        # second view, gradient-isolated (the reference's torch.no_grad pass,
+        # basic_unet.py:378-381). The reference differentiates the two
+        # passes via 0.1 conv dropout; here (dropout-free blocks) the second
+        # view draws an INDEPENDENT block mask — without stochasticity the
+        # two passes are identical and the contrastive gradient is zero
+        # (advisor r2 finding).
+        x_masked_2, _ = masked_view(rng_2)
+        bottom_2 = jax.lax.stop_gradient(run_encoder(x_masked_2)[-1])
         pooled_2 = bottom_2.reshape(b, -1, bottom_2.shape[-1]).mean(axis=1)
         contrast_2 = contrast_head(pooled_2)
 
@@ -166,6 +186,71 @@ class HybridMIMBasicUNet(nn.Module):
             "contrast_pred_1": contrast_1,
             "contrast_pred_2": contrast_2,
         }
+
+
+def hybrid_mim_loss(out: dict) -> Tuple[jnp.ndarray, dict]:
+    """Composite HybridMIM pretraining objective (VERDICT r3 ask #6).
+
+    The reference repo ships the heads (basic_unet.py:348-394) but not the
+    loss that trained `encoder.pt`; the composite below trains every head:
+    - reconstruction: MSE(logits, images) over the cropped region;
+    - mask-count: 9-way softmax CE on per-2x2x2-region masked-patch counts;
+    - mask-position: BCE on the 8 per-position mask flags of each region;
+    - contrastive: negative cosine similarity between the two views'
+      projections (pred_2 is already gradient-isolated in the model).
+    Equal weighting; returns (total, per-term dict).
+    """
+    recon = jnp.mean(jnp.square(
+        out["logits"].astype(jnp.float32)
+        - out["images"].astype(jnp.float32)))
+
+    counts = out["mask_labels"]                       # (B, R) int 0..8
+    logits_c = out["pred_mask_region"].astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits_c, axis=-1)
+    count_ce = -jnp.mean(
+        jnp.take_along_axis(logp, counts[..., None], axis=-1))
+
+    pos_logits = out["pred_mask_region_position"].astype(jnp.float32)
+    pos_labels = out["mask_position_labels"].astype(jnp.float32)
+    pos_bce = jnp.mean(
+        jnp.maximum(pos_logits, 0.0) - pos_logits * pos_labels
+        + jnp.log1p(jnp.exp(-jnp.abs(pos_logits))))
+
+    c1 = out["contrast_pred_1"].astype(jnp.float32)
+    c2 = out["contrast_pred_2"].astype(jnp.float32)
+    cos = jnp.sum(c1 * c2, axis=-1) / (
+        jnp.linalg.norm(c1, axis=-1) * jnp.linalg.norm(c2, axis=-1) + 1e-8)
+    contrast = jnp.mean(1.0 - cos)
+
+    total = recon + count_ce + pos_bce + contrast
+    return total, {"recon": recon, "count_ce": count_ce,
+                   "pos_bce": pos_bce, "contrast": contrast}
+
+
+def make_mim_pretrain_step(model: "HybridMIMBasicUNet", tx):
+    """Jitted HybridMIM pretraining step over a flax TrainState.
+
+    The produced encoder subtree (params["params"]["conv_0"|"down_*"]) is
+    checkpoint-compatible with DiffUNet's embed_model — the in-framework
+    equivalent of producing `encoder.pt` (reference train.py:166-176).
+    """
+    import optax  # local: keep model import light
+
+    def step(state, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            out = model.apply(params, batch, rng=rng)
+            return hybrid_mim_loss(out)
+
+        (loss, terms), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
+                   **terms}
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
 
 
 class _UpCatLite(nn.Module):

@@ -55,15 +55,30 @@ def create_model(
     features: Optional[Tuple[int, ...]] = None,
     remat: bool = False,
     pack: int = 1,
+    quantize: bool = False,
     dtype: Optional[jnp.dtype] = None,
-    **_: Any,
+    **extras: Any,
 ):
     """Build a model module by name (model_hub.py:15-50 parity)."""
+    if extras:
+        import warnings
+        warnings.warn(
+            f"create_model({model_name}) ignored unknown kwargs: "
+            + ", ".join(sorted(extras)),
+            stacklevel=2,
+        )
+    if quantize and model_name != "diff_unet":
+        raise ValueError(
+            f"quantize=True is only supported for diff_unet (got "
+            f"{model_name}); W8A8 int8 inference covers the BasicUNet "
+            "conv stack (ops/int8.py)"
+        )
     if model_name == "diff_unet":
         from diff_unet_tpu.models.diff_unet import DiffUNet
         kw = {"features": tuple(features)} if features else {}
         return DiffUNet(out_channels=out_channels, in_channels=in_channels,
-                        remat=remat, pack=pack, dtype=dtype, **kw)
+                        remat=remat, pack=pack, quantize=quantize,
+                        dtype=dtype, **kw)
     if model_name == "smooth_diff_unet":
         from diff_unet_tpu.models.smooth_diff_unet import SmoothDiffUNet
         kw = {"features": tuple(features)} if features else {}

@@ -8,5 +8,6 @@ from diff_unet_tpu.parallel.distributed import (  # noqa: F401
     create_pod_mesh,
     global_batch_from_local,
     local_batch_indices,
+    replicate_across_processes,
     sequential_eval_shard,
 )

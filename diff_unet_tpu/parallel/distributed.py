@@ -50,8 +50,12 @@ def auto_initialize(
     """
     # NOTE: must not touch jax.process_count()/jax.devices() here — they
     # initialise the XLA backend, after which initialize() refuses to run.
-    from jax._src import distributed as _dist
-    if _dist.global_state.client is not None:  # already initialized
+    try:
+        already = jax.distributed.is_initialized()
+    except AttributeError:  # pre-0.4.34 JAX: fall back to the private state
+        from jax._src import distributed as _dist
+        already = _dist.global_state.client is not None
+    if already:
         return False
     coord = (coordinator_address
              or os.environ.get("JAX_COORDINATOR_ADDRESS"))
@@ -128,6 +132,25 @@ def global_batch_from_local(mesh, local_batch, spatial_sharded: bool = False):
             NamedSharding(mesh, spec), x)
 
     return jax.tree_util.tree_map(put, local_batch)
+
+
+def replicate_across_processes(mesh, tree):
+    """Replicate a pytree across a MULTI-PROCESS mesh.
+
+    Every process must hold the same host values (same-seed init or a
+    restored checkpoint — the analogue of DDP's initial param broadcast,
+    guided_diffusion/dist_util.py:77-83). device_put cannot target
+    non-addressable devices, so the global replicated arrays are assembled
+    with make_array_from_process_local_data.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sh = NamedSharding(mesh, PartitionSpec())
+
+    def put(x):
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def sequential_eval_shard(num_items: int,

@@ -89,13 +89,20 @@ class MetricLogger:
 
     def per_class_table(self, class_names: Dict[int, str],
                         dices: Sequence[float],
-                        hd95s: Optional[Sequence[float]] = None) -> str:
-        headers = ["class", "dice"] + (["hd95"] if hd95s is not None else [])
+                        hd95s: Optional[Sequence[float]] = None,
+                        ious: Optional[Sequence[float]] = None) -> str:
+        """dice / hd95 / iou columns — the reference's wandb test table
+        (test.py:82-83, 150-159)."""
+        headers = (["class", "dice"]
+                   + (["hd95"] if hd95s is not None else [])
+                   + (["iou"] if ious is not None else []))
         rows = []
         for i, (cid, name) in enumerate(class_names.items()):
             row = [f"{cid}:{name}", f"{float(dices[i]):.4f}"]
             if hd95s is not None:
                 row.append(f"{float(hd95s[i]):.2f}")
+            if ious is not None:
+                row.append(f"{float(ious[i]):.4f}")
             rows.append(row)
         return format_table(headers, rows)
 

@@ -257,3 +257,54 @@ def test_legacy_base_dataset(tmp_path):
     # cached: same object back
     item2, _ = ds[0]
     assert item2 is item
+
+
+def test_resampled_affine_world_fidelity():
+    """The serving output affine must carry the full direction matrix and
+    the half-pixel resample shift: a feature's world position is preserved
+    through to_ras + spacing_resample + resampled_affine (VERDICT r3 #10)."""
+    vol = np.zeros((20, 24, 28), np.float32)
+    # 3^3 marker block (a single voxel can vanish under nearest-neighbour
+    # downsampling); world checks reference its center
+    vol[5:8, 14:17, 20:23] = 100.0
+
+    # flipped + permuted + slightly rotated affine
+    theta = 0.15
+    rot = np.array([
+        [np.cos(theta), -np.sin(theta), 0],
+        [np.sin(theta), np.cos(theta), 0],
+        [0, 0, 1],
+    ])
+    spacing = np.array([1.0, 2.0, 1.5])
+    perm_flip = np.array([[0, -1, 0], [1, 0, 0], [0, 0, -1]], float)
+    A = rot @ perm_flip @ np.diag(spacing)
+    affine = np.eye(4)
+    affine[:3, :3] = A
+    affine[:3, 3] = [10.0, -5.0, 3.0]
+    world_marker = affine[:3, :3] @ [6, 15, 21] + affine[:3, 3]
+
+    img = to_ras(NiftiImage(data=vol, affine=affine))
+    # some marker voxel must map within one input voxel of the center
+    idx = np.unravel_index(np.argmax(img.data), img.data.shape)
+    got = img.affine[:3, :3] @ idx + img.affine[:3, 3]
+    assert np.linalg.norm(got - world_marker) <= np.linalg.norm(spacing) + 1e-6
+
+    target = (1.5, 1.5, 2.0)
+    res = T.spacing_resample(img.data, img.spacing, target, order=0)
+    out_aff = T.resampled_affine(img.affine, img.spacing, target)
+    # direction columns have target-spacing norms, rotation preserved
+    norms = np.linalg.norm(out_aff[:3, :3], axis=0)
+    np.testing.assert_allclose(norms, target, rtol=1e-6)
+    jdx = np.unravel_index(np.argmax(res), res.shape)
+    got2 = out_aff[:3, :3] @ jdx + out_aff[:3, 3]
+    # argmax voxel lies in the marker block (<= 1 input voxel from center)
+    # plus at most half an output voxel of nearest-neighbour snap
+    tol = np.linalg.norm(spacing) + 0.5 * np.linalg.norm(target)
+    assert np.linalg.norm(got2 - world_marker) <= tol
+
+
+def test_resampled_affine_identity_when_spacing_matches():
+    aff = np.eye(4)
+    aff[:3, 3] = [1, 2, 3]
+    out = T.resampled_affine(aff, (1.5, 1.5, 2.0), (1.5, 1.5, 2.0))
+    np.testing.assert_allclose(out, aff)

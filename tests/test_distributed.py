@@ -109,3 +109,110 @@ def test_multiprocess_rendezvous_and_collective(tmp_path):
     results = launch([sys.executable, str(worker)], nprocs=2, timeout=240)
     for r in results:
         assert "WORKER_OK" in r.stdout, r.stdout
+
+
+def test_multiprocess_train_step_matches_single_process(tmp_path):
+    """REAL multi-host training: two processes build the pod mesh, feed the
+    global batch via global_batch_from_local, replicate same-seed state, and
+    run one jitted train step — grad psum over the process boundary. The
+    post-step loss and a param digest must match a single-process run on
+    the same global data (VERDICT r3 ask #5; reference
+    light_training/trainer.py:242-345)."""
+    import re
+    import sys
+    import textwrap
+    from pathlib import Path
+
+    import jax.numpy as jnp
+
+    from diff_unet_tpu.api import DiffusionSegmenter
+    from diff_unet_tpu.engine.train import create_train_state, \
+        make_train_step
+    from diff_unet_tpu.losses import CompositeLoss
+    from diff_unet_tpu.models import DiffUNet
+    from diff_unet_tpu.parallel.launch import launch
+
+    FEATS = (4, 4, 8, 16, 32, 4)
+    C = 2
+    SHAPE = (4, 16, 16, 16, 1)
+
+    def make_batch():
+        r = np.random.RandomState(0)
+        image = r.randn(*SHAPE).astype(np.float32)
+        lab = r.randint(0, C, SHAPE[:4])
+        label = np.eye(C, dtype=np.float32)[lab]
+        return {"image": image, "label": label}
+
+    # ---- single-process reference on the same global data ----
+    seg = DiffusionSegmenter(
+        module=DiffUNet(out_channels=C, features=FEATS), num_classes=C,
+        timesteps=50, sample_steps=2,
+    )
+    state = create_train_state(seg, jax.random.key(0), SHAPE)
+    step = make_train_step(seg, CompositeLoss("mse,dice", C), donate=False)
+    state, metrics = step(state, make_batch(), jax.random.key(5))
+    loss_ref = float(metrics["loss"])
+    digest_ref = float(sum(
+        jnp.sum(jnp.abs(l)).astype(jnp.float64)
+        for l in jax.tree_util.tree_leaves(state.params)))
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    worker = tmp_path / "train_worker.py"
+    worker.write_text(textwrap.dedent(f"""
+        import os
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=2")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp
+        import numpy as np
+        import sys
+        sys.path.insert(0, {repo!r})
+        from diff_unet_tpu.api import DiffusionSegmenter
+        from diff_unet_tpu.engine.train import (
+            create_train_state, make_train_step)
+        from diff_unet_tpu.losses import CompositeLoss
+        from diff_unet_tpu.models import DiffUNet
+        from diff_unet_tpu.parallel import (
+            auto_initialize, create_pod_mesh, global_batch_from_local,
+            local_batch_indices, replicate_across_processes)
+
+        assert auto_initialize() is True
+        assert jax.process_count() == 2
+        mesh = create_pod_mesh()
+        pid = jax.process_index()
+
+        seg = DiffusionSegmenter(
+            module=DiffUNet(out_channels={C}, features={FEATS!r}),
+            num_classes={C}, timesteps=50, sample_steps=2)
+        state = create_train_state(seg, jax.random.key(0), {SHAPE!r})
+        state = replicate_across_processes(mesh, state)
+
+        r = np.random.RandomState(0)
+        image = r.randn(*{SHAPE!r}).astype(np.float32)
+        lab = r.randint(0, {C}, {SHAPE!r}[:4])
+        label = np.eye({C}, dtype=np.float32)[lab]
+        idx = list(local_batch_indices({SHAPE[0]}, pid, 2))
+        local = {{"image": image[idx], "label": label[idx]}}
+        batch = global_batch_from_local(mesh, local)
+
+        step = make_train_step(seg, CompositeLoss("mse,dice", {C}),
+                               donate=False)
+        with mesh:
+            state, metrics = step(state, batch, jax.random.key(5))
+        loss = float(metrics["loss"])
+        digest = float(sum(
+            jnp.sum(jnp.abs(l)).astype(jnp.float64)
+            for l in jax.tree_util.tree_leaves(state.params)))
+        print("WORKER_TRAIN", pid, loss, digest)
+    """))
+
+    results = launch([sys.executable, str(worker)], nprocs=2, timeout=540)
+    for r in results:
+        m = re.search(r"WORKER_TRAIN (\d) ([-\d.e]+) ([-\d.e]+)", r.stdout)
+        assert m, r.stdout + r.stderr
+        loss, digest = float(m.group(2)), float(m.group(3))
+        np.testing.assert_allclose(loss, loss_ref, rtol=1e-4)
+        np.testing.assert_allclose(digest, digest_ref, rtol=1e-4)

@@ -250,3 +250,26 @@ def test_ema_restore_and_eval_path(tmp_path):
     import pytest
     with pytest.raises(ValueError, match="ema"):
         ckpt_lib.restore_params(path2, eval_state, use_ema=True)
+
+
+def test_unknown_config_keys_warn(tmp_path, monkeypatch):
+    """A typo'd YAML key must print a warning naming the key, not vanish
+    (VERDICT r3 ask #8)."""
+    import pytest
+    from diff_unet_tpu.engine.engine import Engine
+
+    monkeypatch.chdir(tmp_path)
+    with pytest.warns(UserWarning, match="quantise"):
+        Engine(
+            model_name="diff_unet", image_size=16, spatial_size=16,
+            features=(4, 4, 8, 16, 32, 4), use_amp=False, num_devices=1,
+            mode="test", quantise=True,   # typo'd key
+        )
+
+    from diff_unet_tpu.models.model_hub import create_model
+    with pytest.warns(UserWarning, match="quantise"):
+        create_model("diff_unet", out_channels=2, quantise=True)
+
+    # quantize on an unsupported family is a loud error, not a no-op
+    with pytest.raises(ValueError, match="diff_unet"):
+        create_model("diff_swin_unetr", out_channels=2, quantize=True)

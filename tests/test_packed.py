@@ -227,3 +227,44 @@ def test_quantized_model_correlates_with_float():
     assert c > 0.99, c
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 0.25, rel
+
+
+def test_int8_full_depth_offline_and_calibrated():
+    """Full-depth W8A8 (deep levels + deconvs quantized too): the offline
+    'quant' collection reproduces in-graph quantization, and calibrated
+    static activation scales stay close to the float model (VERDICT r3 #2)."""
+    from diff_unet_tpu.api import DiffusionSegmenter
+    from diff_unet_tpu.engine.quantize import quantize_inference_params
+    from diff_unet_tpu.models import DiffUNet
+
+    feats = (8, 8, 16, 32, 64, 8)
+    quant = DiffUNet(out_channels=3, features=feats, pack=2, quantize=True)
+    seg = DiffusionSegmenter(module=quant, num_classes=3, sample_steps=2)
+    image = jax.random.normal(jax.random.key(1), (2, 16, 16, 16, 1))
+    x = jax.random.normal(jax.random.key(2), (2, 16, 16, 16, 3))
+    t = jnp.asarray([7, 91])
+    params = quant.init(jax.random.key(0), image, x, t)
+    # init never records quant state (restore templates stay clean)
+    assert set(params.keys()) == {"params"}
+
+    online = np.asarray(quant.apply(params, image, x, t))
+    merged = quantize_inference_params(seg, params)
+    assert "quant" in merged
+    offline = np.asarray(quant.apply(merged, image, x, t))
+    np.testing.assert_allclose(offline, online, rtol=1e-5, atol=1e-5)
+
+    # weights-only collection has no act scales (they stay dynamic)
+    leaves = jax.tree_util.tree_leaves_with_path(merged["quant"])
+    names = {str(p[-1]) for p, _ in leaves}
+    assert not any("sa" in n for n in names), names
+
+    merged2 = quantize_inference_params(
+        seg, params, calibration_images=[image])
+    leaves2 = jax.tree_util.tree_leaves_with_path(merged2["quant"])
+    names2 = {str(p[-1]) for p, _ in leaves2}
+    assert any("sa" in n for n in names2), names2
+    static = np.asarray(quant.apply(merged2, image, x, t))
+    plain = DiffUNet(out_channels=3, features=feats, pack=2)
+    want = np.asarray(plain.apply(params, image, x, t))
+    c = np.corrcoef(static.ravel(), want.ravel())[0, 1]
+    assert c > 0.98, c
