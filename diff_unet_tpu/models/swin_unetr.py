@@ -32,13 +32,33 @@ from diff_unet_tpu.ops.swin import SwinTransformer
 
 class UnetResBlock(nn.Module):
     """conv -> norm -> lrelu [-> +t_proj] -> conv -> norm (+skip) -> lrelu
-    (blocks.py:237-316; t FiLM at blocks.py:304)."""
+    (blocks.py:237-316; t FiLM at blocks.py:304).
+
+    quantize=True runs the convs W8A8 on the int8 MXU path (ops/int8.py,
+    dynamic per-tensor act scales) — inference-only, param tree unchanged."""
     out_channels: int
     kernel_size: int = 3
     stride: int = 1
     time_conditioned: bool = True
     negative_slope: float = 0.01
+    quantize: bool = False
     dtype: Optional[jnp.dtype] = None
+
+    def _conv(self, name, x, k, s):
+        if self.quantize:
+            from diff_unet_tpu.ops import int8 as q
+            from diff_unet_tpu.ops.blocks import (
+                ConvParams, quant_act_scale, quant_weights,
+            )
+            kr, b = ConvParams(self.out_channels, x.shape[-1],
+                               kernel=k, name=name)()
+            wq = quant_weights(self, f"{name}_wq",
+                               lambda: q.quantize_kernel(kr))
+            sa = quant_act_scale(self, f"{name}_sa", x)
+            acc = q.conv_int8(q.quantize_act(x, sa), wq[0], strides=s)
+            return q.rescale(acc, sa, wq[1], b, self.dtype or x.dtype)
+        return nn.Conv(self.out_channels, k, strides=s, padding="SAME",
+                       dtype=self.dtype, name=name)(x)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -46,20 +66,17 @@ class UnetResBlock(nn.Module):
         residual = x
         k = (self.kernel_size,) * 3
         s = (self.stride,) * 3
-        h = nn.Conv(self.out_channels, k, strides=s, padding="SAME",
-                    dtype=self.dtype, name="conv1")(x)
+        h = self._conv("conv1", x, k, s)
         h = InstanceNorm(dtype=self.dtype, name="norm1")(h)
         h = nn.leaky_relu(h, self.negative_slope)
         if self.time_conditioned and temb is not None:
             proj = nn.Dense(self.out_channels, dtype=self.dtype,
                             name="t_proj")(swish(temb))
             h = h + proj[:, None, None, None, :].astype(h.dtype)
-        h = nn.Conv(self.out_channels, k, padding="SAME",
-                    dtype=self.dtype, name="conv2")(h)
+        h = self._conv("conv2", h, k, (1, 1, 1))
         h = InstanceNorm(dtype=self.dtype, name="norm2")(h)
         if x.shape[-1] != self.out_channels or self.stride != 1:
-            residual = nn.Conv(self.out_channels, (1, 1, 1), strides=s,
-                               dtype=self.dtype, name="conv3")(residual)
+            residual = self._conv("conv3", residual, (1, 1, 1), s)
             residual = InstanceNorm(dtype=self.dtype, name="norm3")(residual)
         return nn.leaky_relu(h + residual, self.negative_slope)
 
@@ -68,13 +85,14 @@ class UnetrBasicBlock(nn.Module):
     """Residual conv block wrapper (blocks.py:95-160)."""
     out_channels: int
     time_conditioned: bool = True
+    quantize: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, temb=None):
         return UnetResBlock(
             self.out_channels, time_conditioned=self.time_conditioned,
-            dtype=self.dtype, name="layer",
+            quantize=self.quantize, dtype=self.dtype, name="layer",
         )(x, temb)
 
 
@@ -82,6 +100,7 @@ class UnetrUpBlock(nn.Module):
     """Transp-conv 2x -> concat skip -> UnetResBlock (blocks.py:26-93)."""
     out_channels: int
     time_conditioned: bool = True
+    quantize: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -91,7 +110,7 @@ class UnetrUpBlock(nn.Module):
         h = jnp.concatenate([h, skip], axis=-1)
         return UnetResBlock(
             self.out_channels, time_conditioned=self.time_conditioned,
-            dtype=self.dtype, name="conv_block",
+            quantize=self.quantize, dtype=self.dtype, name="conv_block",
         )(h, temb)
 
 
@@ -107,6 +126,7 @@ class SwinUNETREncoder(nn.Module):
     depths: Sequence[int] = (2, 2, 2, 2)
     num_heads: Sequence[int] = (3, 6, 12, 24)
     normalize: bool = True
+    quantize: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -117,13 +137,14 @@ class SwinUNETREncoder(nn.Module):
             normalize=self.normalize, dtype=self.dtype, name="swinViT",
         )(x)
         fs = self.feature_size
-        enc0 = UnetrBasicBlock(fs, time_conditioned=False,
+        qz = self.quantize
+        enc0 = UnetrBasicBlock(fs, time_conditioned=False, quantize=qz,
                                dtype=self.dtype, name="encoder1")(x)
-        enc1 = UnetrBasicBlock(fs, time_conditioned=False,
+        enc1 = UnetrBasicBlock(fs, time_conditioned=False, quantize=qz,
                                dtype=self.dtype, name="encoder2")(hidden[0])
-        enc2 = UnetrBasicBlock(2 * fs, time_conditioned=False,
+        enc2 = UnetrBasicBlock(2 * fs, time_conditioned=False, quantize=qz,
                                dtype=self.dtype, name="encoder3")(hidden[1])
-        enc3 = UnetrBasicBlock(4 * fs, time_conditioned=False,
+        enc3 = UnetrBasicBlock(4 * fs, time_conditioned=False, quantize=qz,
                                dtype=self.dtype, name="encoder4")(hidden[2])
         return (tuple(hidden), enc0, enc1, enc2, enc3)
 
@@ -137,6 +158,7 @@ class SwinUNETRDenoiser(nn.Module):
     num_heads: Sequence[int] = (3, 6, 12, 24)
     noise_ratio: float = 0.5  # stored-only in the reference (denoiser.py:131)
     normalize: bool = True
+    quantize: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -156,38 +178,39 @@ class SwinUNETRDenoiser(nn.Module):
             hidden = [h + c for h, c in zip(hidden, cond_hidden)]
 
         fs = self.feature_size
-        enc0 = UnetrBasicBlock(fs, dtype=self.dtype,
+        qz = self.quantize
+        enc0 = UnetrBasicBlock(fs, quantize=qz, dtype=self.dtype,
                                name="encoder1")(x, temb)
         if embeddings is not None:
             enc0 = enc0 + cond0
         r0 = reverse_attention(enc0)
-        enc1 = UnetrBasicBlock(fs, dtype=self.dtype,
+        enc1 = UnetrBasicBlock(fs, quantize=qz, dtype=self.dtype,
                                name="encoder2")(hidden[0], temb)
         if embeddings is not None:
             enc1 = enc1 + cond1
         r1 = reverse_attention(enc1)
-        enc2 = UnetrBasicBlock(2 * fs, dtype=self.dtype,
+        enc2 = UnetrBasicBlock(2 * fs, quantize=qz, dtype=self.dtype,
                                name="encoder3")(hidden[1], temb)
         if embeddings is not None:
             enc2 = enc2 + cond2
         r2 = reverse_attention(enc2)
-        enc3 = UnetrBasicBlock(4 * fs, dtype=self.dtype,
+        enc3 = UnetrBasicBlock(4 * fs, quantize=qz, dtype=self.dtype,
                                name="encoder4")(hidden[2], temb)
         if embeddings is not None:
             enc3 = enc3 + cond3
         r3 = reverse_attention(enc3)
 
-        dec4 = UnetrBasicBlock(16 * fs, dtype=self.dtype,
+        dec4 = UnetrBasicBlock(16 * fs, quantize=qz, dtype=self.dtype,
                                name="encoder10")(hidden[4], temb)
-        dec3 = UnetrUpBlock(8 * fs, dtype=self.dtype,
+        dec3 = UnetrUpBlock(8 * fs, quantize=qz, dtype=self.dtype,
                             name="decoder5")(dec4, hidden[3], temb)
-        dec2 = UnetrUpBlock(4 * fs, dtype=self.dtype,
+        dec2 = UnetrUpBlock(4 * fs, quantize=qz, dtype=self.dtype,
                             name="decoder4")(dec3, enc3, temb) + r3
-        dec1 = UnetrUpBlock(2 * fs, dtype=self.dtype,
+        dec1 = UnetrUpBlock(2 * fs, quantize=qz, dtype=self.dtype,
                             name="decoder3")(dec2, enc2, temb) + r2
-        dec0 = UnetrUpBlock(fs, dtype=self.dtype,
+        dec0 = UnetrUpBlock(fs, quantize=qz, dtype=self.dtype,
                             name="decoder2")(dec1, enc1, temb) + r1
-        out = UnetrUpBlock(fs, dtype=self.dtype,
+        out = UnetrUpBlock(fs, quantize=qz, dtype=self.dtype,
                            name="decoder1")(dec0, enc0, temb) + r0
         return nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype,
                        name="out")(out)
@@ -200,6 +223,7 @@ class DiffSwinUNETR(nn.Module):
     image_size: Tuple[int, int, int] = (96, 96, 96)
     feature_size: int = 48
     noise_ratio: float = 0.5
+    quantize: bool = False   # W8A8 int8 UNETR conv blocks (inference-only)
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -208,11 +232,13 @@ class DiffSwinUNETR(nn.Module):
                 "image size must be divisible by 2^5 for the Swin pyramid"
             )
         self.embed_model = SwinUNETREncoder(
-            feature_size=self.feature_size, dtype=self.dtype
+            feature_size=self.feature_size, quantize=self.quantize,
+            dtype=self.dtype
         )
         self.model = SwinUNETRDenoiser(
             out_channels=self.out_channels, feature_size=self.feature_size,
-            noise_ratio=self.noise_ratio, dtype=self.dtype,
+            noise_ratio=self.noise_ratio, quantize=self.quantize,
+            dtype=self.dtype,
         )
 
     def __call__(self, image, x, t):
@@ -240,6 +266,7 @@ class SwinUNETR(nn.Module):
     depths: Sequence[int] = (2, 2, 2, 2)
     num_heads: Sequence[int] = (3, 6, 12, 24)
     normalize: bool = True
+    quantize: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
