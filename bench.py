@@ -15,10 +15,16 @@ This is recorded (not hidden): baseline_steps_per_sec is included in the
 JSON line and the methodology lives in BASELINE.md.
 """
 import json
+import os
 import time
 
 import jax
-import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/diff_unet_tpu/xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import jax.numpy as jnp  # noqa: E402
 
 SW_BATCH = 16  # pack-2 halves L0/L1 activation bytes; 16 fits v5e HBM (+2%)
 STEPS = 10
@@ -91,8 +97,8 @@ def main():
         baseline = float("nan")
 
     # opt-in W8A8 int8 serving rate (reported as extra fields; bf16 stays
-    # the headline value for apples-to-apples honesty). sw=8: the int8
-    # path's transient int8 activation copies do not fit HBM at sw=16.
+    # the headline value for apples-to-apples honesty). sw=16 fits since
+    # the dense state packing of the DDIM loop (api.py, BASELINE.md r3).
     int8_steps = None
     try:
         from diff_unet_tpu.engine.quantize import quantize_inference_params
@@ -103,18 +109,17 @@ def main():
                             pack=2, quantize=True),
             num_classes=CLASSES, sample_steps=STEPS,
         )
-        image_q = image[:8]
         merged = quantize_inference_params(
-            seg_q, params, calibration_images=[image_q[:2]])
+            seg_q, params, calibration_images=[image[:2]])
         sample_q = jax.jit(seg_q.ddim_sample)
-        out_q = sample_q(merged, image_q, jax.random.key(2))
+        out_q = sample_q(merged, image, jax.random.key(2))
         _ = float(out_q.ravel()[0])
         t0 = time.perf_counter()
         for i in range(n_iters):
-            out_q = sample_q(merged, image_q, jax.random.key(3 + i))
+            out_q = sample_q(merged, image, jax.random.key(3 + i))
             _ = float(out_q.ravel()[0])
         int8_elapsed = time.perf_counter() - t0
-        int8_steps = 8 * STEPS * n_iters / int8_elapsed
+        int8_steps = SW_BATCH * STEPS * n_iters / int8_elapsed
     except Exception:
         pass
 
@@ -130,7 +135,7 @@ def main():
         "sw_batch": SW_BATCH, "steps": STEPS, "classes": CLASSES,
         "seconds_per_window_batch": round(elapsed / n_iters, 4),
         "int8_steps_per_sec": round(int8_steps, 2) if int8_steps else None,
-        "int8_sw_batch": 8,
+        "int8_sw_batch": SW_BATCH,
         "int8_mode": "offline W8A8, calibrated static act scales",
     }))
 

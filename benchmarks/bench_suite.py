@@ -10,10 +10,16 @@ Completion is forced with host reads (axon relay's block_until_ready
 returns early).
 """
 import json
+import os
 import time
 
 import jax
-import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/diff_unet_tpu/xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import jax.numpy as jnp  # noqa: E402
 
 from diff_unet_tpu.api import DiffusionSegmenter
 from diff_unet_tpu.engine import make_optimizer, make_train_step

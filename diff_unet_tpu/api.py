@@ -131,50 +131,70 @@ class DiffusionSegmenter:
         UNPACKED and reshaped, so packed and unpacked runs see identical
         noise values.
         """
+        from diff_unet_tpu.ops import packed as pk
+
         b = image.shape[0]
-        shape = (b, *image.shape[1:-1], self.num_classes)
+        w = image.shape[3]
+        c = self.num_classes
+        shape = (b, *image.shape[1:-1], c)
         f = getattr(self.module, "pack", 1)
-        packed = f > 1 and image.shape[3] % (2 * f) == 0
+        packed = f > 1 and w % (2 * f) == 0
+
+        # Dense state packing: the loop state/accumulators are (.., C) with
+        # C ~ num_classes; v5e pads the minor dim to 128 lanes, so a C=15
+        # f32 96^3 state costs 8.5x its bytes (measured: two 3.38G HBM
+        # buffers at sw=8 — the Swin OOM dump, BASELINE.md r3). Fold W into
+        # channels until <=128 lanes; the DDIM step math is elementwise, so
+        # only the denoiser call needs the model's own layout.
+        fm = f if packed else 1          # layout the model consumes
+        fs = fm
+        while w % (fs * 2) == 0 and fs * 2 * c <= 128:
+            fs *= 2
 
         if packed:
-            from diff_unet_tpu.ops import packed as pk
-
             # the packed encoder emits level-0/1 embeddings already in
             # pack-2 layout — the entire inference path stays 128-lane-dense
             image_p = pk.pack_w(image, f)
             emb_p = self.module.apply(params, image_p,
                                       method="embed_packed")
-            if noise is None:
-                rng, n_rng = jax.random.split(rng)
-                noise = jax.random.normal(n_rng, shape, jnp.float32)
-            noise = pk.pack_w(noise, f)
-            loop_shape = noise.shape
 
-            def denoise_fn(x_p, t):
+            def model_fn(x_p, t):
                 return self.module.apply(
                     params, x_p, t, emb_p, image_p, method="denoise_packed",
                 )
         else:
-            loop_shape = shape
             embeddings = self.module.apply(params, image, method="embed")
 
-            def denoise_fn(x, t):
+            def model_fn(x, t):
                 return self.module.apply(
                     params, x, t, embeddings, image,
                     method="denoise_with_embeddings",
                 )
+
+        if noise is None:
+            rng, n_rng = jax.random.split(rng)
+            noise = jax.random.normal(n_rng, shape, jnp.float32)
+        noise = pk.pack_w(noise, fs) if fs > 1 else noise
+        loop_shape = noise.shape
+
+        if fs == fm:
+            denoise_fn = model_fn
+        else:
+            g = fs // fm                 # state layout -> model layout
+
+            def denoise_fn(x_s, t):
+                return pk.pack_w(model_fn(pk.unpack_w(x_s, g), t), g)
 
         out = sampling.ddim_sample_loop(
             denoise_fn, self.sample_schedule, loop_shape, rng, noise=noise,
             eta=eta, mean_type=self.mean_type, var_type=self.var_type,
             clip_denoised=True,
         )
-        if packed:
-            from diff_unet_tpu.ops import packed as pk
+        if fs > 1:
             out = sampling.SampleLoopOutput(
-                sample=pk.unpack_w(out.sample, f),
-                pred_xstart=pk.unpack_w(out.pred_xstart, f),
-                pred_xstart_sum=pk.unpack_w(out.pred_xstart_sum, f),
+                sample=pk.unpack_w(out.sample, fs),
+                pred_xstart=pk.unpack_w(out.pred_xstart, fs),
+                pred_xstart_sum=pk.unpack_w(out.pred_xstart_sum, fs),
             )
         if return_all:
             return out

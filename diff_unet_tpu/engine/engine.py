@@ -105,8 +105,22 @@ class Engine:
         pack: Optional[int] = None,    # channel-packed execution; None=auto
         quantize: bool = False,        # W8A8 int8 inference (diff_unet)
         quant_calibrate: int = 0,      # calibration windows for static act scales
+        compile_cache=None,            # persistent XLA cache dir; False=off
         **_unused,
     ) -> None:
+        if compile_cache is not False and compile_cache != "off":
+            # persistent compilation cache: measured 3.2x faster cold-start
+            # for the sliding-window serving program (BASELINE.md r3);
+            # path override via the `compile_cache` YAML key
+            path = (compile_cache if isinstance(compile_cache, str)
+                    else str(Path.home() / ".cache" / "diff_unet_tpu"
+                             / "xla"))
+            try:
+                jax.config.update("jax_compilation_cache_dir", path)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 5)
+            except Exception:
+                pass  # older jax without the knob: run uncached
         if _unused:
             # a typo'd YAML key (`quantise:`, `emarate:`) must not vanish
             # silently (VERDICT r2 weak #6)

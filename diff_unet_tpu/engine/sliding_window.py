@@ -219,11 +219,14 @@ class SlidingWindowInferer:
         padded_shape = volume.shape[:3]
 
         groups = self._geometry(padded_shape)
-        imp = jnp.asarray(self.importance())[..., None]  # (*roi, 1)
+        imp = jnp.asarray(self.importance())           # (*roi)
 
         out_shape = (*padded_shape, out_channels)
         accum = jnp.zeros(out_shape, jnp.float32)
-        weight = jnp.zeros((*padded_shape, 1), jnp.float32)
+        # no trailing channel dim: a (D,H,W,1) f32 accumulator pads its
+        # minor dim 1 -> 128 lanes on v5e (128x the bytes, ~1.8G at the
+        # AMOS bench volume — seen in the r3 OOM dump)
+        weight = jnp.zeros(padded_shape, jnp.float32)
         if rng is None:
             rng = jax.random.key(0)
 
@@ -249,12 +252,12 @@ class SlidingWindowInferer:
                     acc_, idx, (rd, rh, rw, out_channels)
                 )
                 acc_ = jax.lax.dynamic_update_slice(
-                    acc_, cur + preds[j] * w_map, idx
+                    acc_, cur + preds[j] * w_map[..., None], idx
                 )
-                curw = jax.lax.dynamic_slice(wgt_, idx[:3] + (0,),
-                                             (rd, rh, rw, 1))
+                curw = jax.lax.dynamic_slice(wgt_, idx[:3],
+                                             (rd, rh, rw))
                 wgt_ = jax.lax.dynamic_update_slice(
-                    wgt_, curw + w_map, idx[:3] + (0,)
+                    wgt_, curw + w_map, idx[:3]
                 )
                 return acc_, wgt_
 
@@ -272,6 +275,7 @@ class SlidingWindowInferer:
             )
         # guard only true zero coverage (padded dummy windows); gaussian
         # corner weights can be ~1e-10 and must still divide exactly
+        weight = weight[..., None]
         stitched = jnp.where(weight > 0, accum / weight, 0.0)
         # crop back if the volume was padded up to the ROI
         return stitched[: vol_shape[0], : vol_shape[1], : vol_shape[2], :]

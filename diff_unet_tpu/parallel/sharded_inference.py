@@ -60,7 +60,7 @@ def make_sharded_inferer(
     starts = starts.reshape(n_dev, per_dev_batches, sw, 3)
     valid = valid.reshape(n_dev, per_dev_batches, sw)
 
-    imp = inferer.importance()[..., None]  # (*roi, 1)
+    imp = inferer.importance()             # (*roi)
 
     def local(params, volume, starts_l, valid_l, rng):
         """Runs on one device: its window subset -> local partial stitch."""
@@ -68,7 +68,8 @@ def make_sharded_inferer(
         valid_l = valid_l[0]
         out_shape = (*pad_shape, out_channels)
         accum = jnp.zeros(out_shape, jnp.float32)
-        weight = jnp.zeros((*pad_shape, 1), jnp.float32)
+        # no trailing 1-dim: it pads to 128 lanes (see sliding_window.py)
+        weight = jnp.zeros(pad_shape, jnp.float32)
         imp_j = jnp.asarray(imp)
 
         def gather(s):
@@ -95,11 +96,11 @@ def make_sharded_inferer(
                 cur = jax.lax.dynamic_slice(
                     acc_, idx, (rd, rh, rw, out_channels))
                 acc_ = jax.lax.dynamic_update_slice(
-                    acc_, cur + preds[j] * w_map, idx)
+                    acc_, cur + preds[j] * w_map[..., None], idx)
                 curw = jax.lax.dynamic_slice(
-                    wgt_, idx[:3] + (0,), (rd, rh, rw, 1))
+                    wgt_, idx[:3], (rd, rh, rw))
                 wgt_ = jax.lax.dynamic_update_slice(
-                    wgt_, curw + w_map, idx[:3] + (0,))
+                    wgt_, curw + w_map, idx[:3])
                 return acc_, wgt_
 
             acc, wgt = jax.lax.fori_loop(0, sw, scatter_one, (acc, wgt))
@@ -109,7 +110,7 @@ def make_sharded_inferer(
             body, (accum, weight), (starts_l, valid_l)
         )
         accum = jax.lax.psum(accum, axis)
-        weight = jax.lax.psum(weight, axis)
+        weight = jax.lax.psum(weight, axis)[..., None]
         return jnp.where(weight > 0, accum / weight, 0.0)
 
     sharded = shard_map(

@@ -22,3 +22,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# persistent compilation cache: the suite is compile-dominated on 1 vCPU;
+# repeat runs hit the cache (measured 3.2x faster cold-start on the big
+# serving programs, BASELINE.md r3)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/diff_unet_tpu/xla-test"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
