@@ -637,8 +637,14 @@ class Predictor(Engine):
 
 class Tester(Engine):
     def __init__(self, epoch: Optional[int] = None, log_dir: str = "logs",
-                 use_ema: bool = False, **kwargs) -> None:
+                 use_ema: bool = False, save_volumes: bool = True,
+                 **kwargs) -> None:
         super().__init__(mode="test", log_dir=log_dir, **kwargs)
+        # results.pkl carries the full volume set like the reference
+        # (test.py:177-186), but compactly: fp16 images, bool one-hot
+        # outputs/labels (the reference pickles float32 CUDA tensors);
+        # save_volumes=false keeps only the metric arrays
+        self.save_volumes = save_volumes
         self.results = {"images": [], "outputs": [], "labels": [],
                         "dices": [], "ious": [], "hd95s": [],
                         "filenames": []}
@@ -708,6 +714,11 @@ class Tester(Engine):
         self.results["hd95s"].append(hd95s)
         self.results["ious"].append(ious)
         self.results["filenames"].append(batch.get("filename", [None])[0])
+        if self.save_volumes:
+            self.results["images"].append(
+                np.asarray(image)[..., 0].astype(np.float16))
+            self.results["outputs"].append(out_np > 0)
+            self.results["labels"].append(lab_np > 0)
         # mid-slice overlay dump (engine.py:184-248 log_plot parity)
         vis_dir = self.log_dir / "vis"
         vis_dir.mkdir(parents=True, exist_ok=True)

@@ -209,6 +209,84 @@ class PackedTwoConv(nn.Module):
         return x
 
 
+class _ConvNormParams(nn.Module):
+    """Parameter shell matching PackedConvNormAct's tree ({conv}, {norm})
+    without executing it — the fused Pallas path consumes raw params."""
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k, b = _ConvParams(self.features, self.in_features, name="conv")()
+        scale, bias = _NormParams(self.features, name="norm")()
+        return k, b, scale, bias
+
+
+class PallasFusedTwoConv(nn.Module):
+    """TwoConv executed as two fused Pallas implicit-GEMM convs
+    (ops/pallas_packed_conv.conv3x3_packed_aug_pipelined): 1.33x MACs vs the
+    2x structural zeros of the XLA packed conv, with the InstanceNorm reduce
+    as a conv epilogue and normalize+LeakyReLU+temb-FiLM as the next conv's
+    input prologue — zero standalone elementwise HBM passes between the
+    convs. Inference-only (no custom VJP); parameter tree identical to
+    PackedTwoConv, so checkpoints are interchangeable.
+
+    STATUS: parity-correct, NOT wired into DiffUNet — measured slower than
+    the XLA path on v5e (36.1 vs 26.1 ms per fused L0 ConvNormAct pair;
+    BASELINE.md "Round-3 Pallas 1.33x-conv exploration"). Mosaic sustains
+    ~100 TF/s raw on this shape vs XLA's 157, which the MAC advantage
+    cannot close. Kept as tested exploration for future toolchains.
+
+    `parts` is the conv input as a LIST of packed tensors whose logical
+    unpacked concat (in order) is the original input — the packed-space
+    analogue of torch.cat before Conv3d (denoiser.py:298).
+    """
+    features: int
+    in_features: int
+    f: int = 2
+    use_temb: bool = True
+    negative_slope: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, parts, temb=None):
+        from diff_unet_tpu.ops.pallas_packed_conv import (
+            conv3x3_packed_aug_pipelined,
+            prologue_pad_value,
+        )
+        if not isinstance(parts, (list, tuple)):
+            parts = [parts]
+        assert self.f == 2, "the fused Pallas path is pack-2 only"
+        slope = self.negative_slope
+        n, d, h, wp = parts[0].shape[:4]
+        count = d * h * wp
+
+        k0, b0, g0, be0 = _ConvNormParams(self.features, self.in_features,
+                                          name="conv_0")()
+        y0, st0 = conv3x3_packed_aug_pipelined(
+            parts, k0, b0, dtype=self.dtype, with_stats=True)
+        a0, c0 = pk.norm_affine_from_stats(st0, g0, be0, self.f, count)
+
+        film = None
+        if self.use_temb and temb is not None:
+            proj = nn.Dense(self.features, dtype=self.dtype,
+                            name="temb_proj")(swish(temb))
+            film = jnp.tile(proj, (1, self.f)).astype(jnp.float32)
+
+        k1, b1, g1, be1 = _ConvNormParams(self.features, self.features,
+                                          name="conv_1")()
+        pv = prologue_pad_value(a0, c0, const=film, negative_slope=slope)
+        y1, st1 = conv3x3_packed_aug_pipelined(
+            [y0], k1, b1, dtype=self.dtype,
+            prologue_scale=a0, prologue_bias=c0, prologue_const=film,
+            prologue_negative_slope=slope, pad_value=pv, with_stats=True)
+        a1, c1 = pk.norm_affine_from_stats(st1, g1, be1, self.f, count)
+        shape = (n, 1, 1, 1, a1.shape[-1])
+        y = y1 * a1.reshape(shape).astype(y1.dtype) \
+            + c1.reshape(shape).astype(y1.dtype)
+        return nn.leaky_relu(y, negative_slope=slope)
+
+
 class _PackedDownConvs(nn.Module):
     """`Down`-compatible scope holding only the convs (pooling happens in
     packed space in the parent forward)."""

@@ -261,6 +261,34 @@ def packed_deconv2_packed(
     return y
 
 
+def norm_affine_from_stats(
+    stats: jnp.ndarray,         # (N, 2, f*C): [sum, sumsq] per packed chan
+    scale: jnp.ndarray,         # (C,) InstanceNorm gamma
+    bias: jnp.ndarray,          # (C,) InstanceNorm beta
+    f: int,
+    count: int,                 # voxels per packed block (= D*H*Wp)
+    epsilon: float = 1e-5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """InstanceNorm as a per-packed-channel affine from kernel-side moments.
+
+    Consumes the (sum, sum-of-squares) epilogue of the Pallas packed conv
+    (pallas_packed_conv.conv3x3_packed_aug_pipelined with_stats=True) and
+    returns (a, b), both (N, f*C) f32, such that `x*a + b` equals
+    `packed_instance_norm(x, scale, bias, f)` — the f w-offset blocks'
+    moments are merged to per-original-channel statistics exactly as there.
+    """
+    c = stats.shape[-1] // f
+    s1 = jnp.sum(stats[:, 0].reshape(-1, f, c), axis=1)
+    s2 = jnp.sum(stats[:, 1].reshape(-1, f, c), axis=1)
+    denom = float(f * count)
+    mean = s1 / denom
+    var = jnp.maximum(s2 / denom - jnp.square(mean), 0.0)
+    inv = lax.rsqrt(var + epsilon)
+    a = inv * scale.astype(jnp.float32)
+    b = bias.astype(jnp.float32) - mean * a
+    return jnp.tile(a, (1, f)), jnp.tile(b, (1, f))
+
+
 # ---- W8A8 int8 variants (ops/int8.py primitives) ----
 
 

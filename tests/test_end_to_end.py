@@ -96,6 +96,23 @@ def test_tester_end_to_end(workspace, tmp_path, monkeypatch):
     d = np.asarray(results["dices"])
     assert d.shape == (2, 2)
     assert np.all((d >= 0) & (d <= 1))
+    # results.pkl carries the full volume set like the reference
+    # (test.py:177-186), compactly: fp16 images, bool one-hot masks
+    assert len(results["images"]) == 2
+    assert results["images"][0].dtype == np.float16
+    assert results["outputs"][0].dtype == np.bool_
+    assert results["labels"][0].dtype == np.bool_
+    assert results["outputs"][0].shape == results["labels"][0].shape
+
+    # save_volumes=False keeps only the metric arrays
+    tester_lite = Tester(
+        model_name="diff_unet", data_path=str(data), classes=str(classes),
+        model_path=str(tmp_path / "logs/t/weights/epoch_1"),
+        log_dir="t-lite", save_volumes=False, **COMMON,
+    )
+    lite = tester_lite.test()
+    assert lite["images"] == [] and lite["outputs"] == []
+    assert len(lite["dices"]) == 2
 
 
 def test_config_cli_parsing(tmp_path):
