@@ -15,14 +15,13 @@ This is recorded (not hidden): baseline_steps_per_sec is included in the
 JSON line and the methodology lives in BASELINE.md.
 """
 import json
-import os
 import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/diff_unet_tpu/xla"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+from diff_unet_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
 
 import jax.numpy as jnp  # noqa: E402
 
@@ -100,6 +99,7 @@ def main():
     # the headline value for apples-to-apples honesty). sw=16 fits since
     # the dense state packing of the DDIM loop (api.py, BASELINE.md r3).
     int8_steps = None
+    int8_error = None
     try:
         from diff_unet_tpu.engine.quantize import quantize_inference_params
 
@@ -120,8 +120,8 @@ def main():
             _ = float(out_q.ravel()[0])
         int8_elapsed = time.perf_counter() - t0
         int8_steps = SW_BATCH * STEPS * n_iters / int8_elapsed
-    except Exception:
-        pass
+    except Exception as e:  # keep the bf16 headline; record the regression
+        int8_error = f"{type(e).__name__}: {e}"[:300]
 
     print(json.dumps({
         "metric": "ddim_denoise_steps_per_sec_per_chip",
@@ -137,6 +137,7 @@ def main():
         "int8_steps_per_sec": round(int8_steps, 2) if int8_steps else None,
         "int8_sw_batch": SW_BATCH,
         "int8_mode": "offline W8A8, calibrated static act scales",
+        **({"int8_error": int8_error} if int8_error else {}),
     }))
 
 

@@ -10,14 +10,13 @@ Completion is forced with host reads (axon relay's block_until_ready
 returns early).
 """
 import json
-import os
 import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/diff_unet_tpu/xla"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+from diff_unet_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
 
 import jax.numpy as jnp  # noqa: E402
 

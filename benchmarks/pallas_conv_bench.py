@@ -23,9 +23,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/diff_unet_tpu/xla"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+from diff_unet_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
 
 from diff_unet_tpu.ops import packed as pk  # noqa: E402
 from diff_unet_tpu.ops.pallas_packed_conv import (  # noqa: E402

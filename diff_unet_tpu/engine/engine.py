@@ -47,7 +47,11 @@ from diff_unet_tpu.engine.train import (
     make_train_step,
 )
 from diff_unet_tpu.losses import CompositeLoss
-from diff_unet_tpu.metrics import hausdorff_distance_95, validation_dice
+from diff_unet_tpu.metrics import (
+    hausdorff_distance_95,
+    jaccard,
+    validation_dice,
+)
 from diff_unet_tpu.models.model_hub import (
     ModelType,
     create_model,
@@ -111,16 +115,11 @@ class Engine:
         if compile_cache is not False and compile_cache != "off":
             # persistent compilation cache: measured 3.2x faster cold-start
             # for the sliding-window serving program (BASELINE.md r3);
-            # path override via the `compile_cache` YAML key
-            path = (compile_cache if isinstance(compile_cache, str)
-                    else str(Path.home() / ".cache" / "diff_unet_tpu"
-                             / "xla"))
-            try:
-                jax.config.update("jax_compilation_cache_dir", path)
-                jax.config.update(
-                    "jax_persistent_cache_min_compile_time_secs", 5)
-            except Exception:
-                pass  # older jax without the knob: run uncached
+            # path override via the `compile_cache` YAML key. A process-
+            # level cache dir set before Engine construction is respected.
+            from diff_unet_tpu.utils import compile_cache as cc
+            cc.enable(compile_cache if isinstance(compile_cache, str)
+                      else None)
         if _unused:
             # a typo'd YAML key (`quantise:`, `emarate:`) must not vanish
             # silently (VERDICT r2 weak #6)
@@ -291,13 +290,18 @@ class Engine:
     def _offline_quantize(self, calibration_images=None) -> None:
         """Record the offline 'quant' collection into the serving params:
         int8 kernels always; static activation scales when calibration
-        window batches are supplied (see engine/quantize.py)."""
+        window batches are supplied (see engine/quantize.py). Always starts
+        from the clean float params, so a later `calibrate()` after a
+        weights-only pass re-records from scratch (idempotent)."""
         from diff_unet_tpu.engine.quantize import quantize_inference_params
+        if not hasattr(self, "_float_params"):
+            self._float_params = self.state.params
         merged = quantize_inference_params(
-            self.seg, self.state.params,
+            self.seg, self._float_params,
             calibration_images=calibration_images,
             rng=jax.random.key(self.seed),
         )
+        self._act_calibrated = calibration_images is not None
         self.state = self.state.replace(params=merged)
 
     def _calibration_windows(self, volume: jnp.ndarray):
@@ -327,6 +331,17 @@ class Engine:
         vshape = volume.shape
         bucket = bucket_shape(vshape[:3], self._inferer.roi, self.overlap)
         key = bucket + (vshape[3],)
+        # True window geometry from the REAL shape (edge windows clamped
+        # flush with the real volume, MONAI semantics), fed to the compiled
+        # program as runtime data. The bucket only fixes shapes: padding
+        # target + per-dim window counts. Without this, edge windows of
+        # non-grid-aligned volumes would sit on the bucket grid and read
+        # mostly zero padding.
+        roi_padded = tuple(
+            max(r, s) for r, s in zip(self._inferer.roi, vshape[:3]))
+        geom = tuple(
+            (jnp.asarray(s), jnp.asarray(v))
+            for s, v in self._inferer._geometry(roi_padded))
         fn = self._infer_cache.get(key)
         if fn is None:
             if self.model_type == ModelType.DIFFUSION:
@@ -346,17 +361,17 @@ class Engine:
                     volume_shape=key,
                 )
 
-                def run(p, vol, r):
-                    logits = stitched(p, vol, r)
+                def run(p, vol, r, g):
+                    logits = stitched(p, vol, r, g)
                     probs = jax.nn.sigmoid(logits)
                     return logits, (probs > 0.5).astype(jnp.float32)
 
                 fn = run  # already jitted inside
             else:
-                def run(p, vol, r):
+                def run(p, vol, r, g):
                     logits = self._inferer(
                         lambda w, rr: predictor(p, w, rr), vol, r,
-                        out_channels=self.num_classes,
+                        out_channels=self.num_classes, groups=g,
                     )
                     probs = jax.nn.sigmoid(logits)
                     return logits, (probs > 0.5).astype(jnp.float32)
@@ -370,7 +385,7 @@ class Engine:
         pads = [(0, b - s) for b, s in zip(bucket, vshape[:3])]
         if any(p != (0, 0) for p in pads):
             volume = jnp.pad(volume, pads + [(0, 0)])
-        logits, binary = fn(params, volume, rng)
+        logits, binary = fn(params, volume, rng, geom)
         d, h, w = vshape[:3]
         return logits[:d, :h, :w], binary[:d, :h, :w]
 
@@ -707,9 +722,10 @@ class Tester(Engine):
                 hausdorff_distance_95(o, l) if o.any() and l.any()
                 else float("nan")
             )
-            union = np.logical_or(o, l).sum()
-            ious.append(float(np.logical_and(o, l).sum() / union)
-                        if union else 0.0)
+            # the registry's own IoU (TP/(TP+FP+FN)), union==0 -> 0.0 —
+            # one convention for the printed table, results.pkl, and
+            # ALL_METRICS["IoU"]
+            ious.append(jaccard(o, l, nan_for_nonexisting=False))
         self.results["dices"].append(dices)
         self.results["hd95s"].append(hd95s)
         self.results["ious"].append(ious)

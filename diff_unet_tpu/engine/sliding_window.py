@@ -80,13 +80,15 @@ def bucket_shape(
     Real val sets have a different volume shape per case; compiling one
     sliding-window program per exact shape makes evaluation compile-bound
     (VERDICT r2 weak #3). Bucketing pads each dim up to the next point of
-    the scan grid `roi + k*interval`, which (a) preserves the per-dim window
+    the scan grid `roi + k*interval`, which preserves the per-dim window
     count exactly — `window_starts` yields ceil((dim-roi)/interval)+1 starts
-    for every dim in the bucket — and (b) makes the starts the uniform grid
-    with no edge-clamped window, so all shapes in a bucket share one
-    compiled program. The volume is zero-padded to the bucket (the same
-    convention MONAI uses for volumes smaller than the ROI) and the stitched
-    output is cropped back.
+    for every dim in the bucket — so all shapes in a bucket share one
+    compiled program (the geometry arrays have identical shapes). The
+    window *starts* themselves are NOT taken from the bucket grid: they are
+    computed from the real shape (edge windows clamped flush with the real
+    volume, MONAI semantics) and fed to the program as runtime data, so no
+    window ever reads the bucket's zero padding. The volume is zero-padded
+    to the bucket and the stitched output is cropped back.
     """
     out = []
     for s, r in zip(vol_shape, roi):
@@ -208,7 +210,13 @@ class SlidingWindowInferer:
         rng: Optional[jax.Array] = None,
         *,
         out_channels: int,
+        groups=None,                  # optional runtime geometry (see below)
     ) -> jnp.ndarray:                  # (D, H, W, Cout)
+        """`groups` overrides the window geometry with runtime data: a
+        sequence of (starts (nb, s, 3), valid (nb, s)) arrays as produced by
+        `_geometry`. Used by the bucketed compile cache (Engine.infer): the
+        compiled program is keyed on the bucket (shapes only) while the true
+        clamped starts of each real volume arrive as traced inputs."""
         assert volume.ndim == 4, "volume must be (D, H, W, C)"
         vol_shape = volume.shape[:3]
         rd, rh, rw = self.roi
@@ -218,7 +226,8 @@ class SlidingWindowInferer:
             volume = jnp.pad(volume, pads + [(0, 0)])
         padded_shape = volume.shape[:3]
 
-        groups = self._geometry(padded_shape)
+        if groups is None:
+            groups = self._geometry(padded_shape)
         imp = jnp.asarray(self.importance())           # (*roi)
 
         out_shape = (*padded_shape, out_channels)

@@ -173,7 +173,11 @@ class HybridMIMBasicUNet(nn.Module):
         x_masked_2, _ = masked_view(rng_2)
         bottom_2 = jax.lax.stop_gradient(run_encoder(x_masked_2)[-1])
         pooled_2 = bottom_2.reshape(b, -1, bottom_2.shape[-1]).mean(axis=1)
-        contrast_2 = contrast_head(pooled_2)
+        # stop-gradient around the WHOLE second pass including the shared
+        # head (the reference's torch.no_grad scope): a head-side gradient
+        # from this view would let the cosine loss collapse the head
+        # instead of training the encoder
+        contrast_2 = jax.lax.stop_gradient(contrast_head(pooled_2))
 
         return {
             "logits": logits,
@@ -227,7 +231,7 @@ def hybrid_mim_loss(out: dict) -> Tuple[jnp.ndarray, dict]:
                    "pos_bce": pos_bce, "contrast": contrast}
 
 
-def make_mim_pretrain_step(model: "HybridMIMBasicUNet", tx):
+def make_mim_pretrain_step(model: "HybridMIMBasicUNet"):
     """Jitted HybridMIM pretraining step over a flax TrainState.
 
     The produced encoder subtree (params["params"]["conv_0"|"down_*"]) is

@@ -43,22 +43,28 @@ def make_sharded_inferer(
     pad_shape = tuple(max(r, s) for r, s in zip(inferer.roi, (d, h, w)))
 
     groups = inferer._geometry(pad_shape)
-    # flatten the po2 batch groups, then pad to a multiple of n_dev * sw
-    # (each device scans fixed po2-sized batches; cross-device padding is
-    # bounded by n_dev*sw-1 slots)
-    starts = np.concatenate([g.reshape(-1, 3) for g, _ in groups])
-    valid = np.concatenate([v.reshape(-1) for _, v in groups])
     sw = 1
     while sw * 2 <= inferer.sw_batch_size:
         sw *= 2
-    per_dev_batches = -(-len(starts) // (n_dev * sw))
-    total = per_dev_batches * n_dev * sw
-    pad = total - len(starts)
-    starts = np.concatenate([starts, np.zeros((pad, 3), np.int32)])
-    valid = np.concatenate([valid, np.zeros(pad, np.float32)])
-    # device-major layout: (n_dev, per_dev_batches, sw, ...)
-    starts = starts.reshape(n_dev, per_dev_batches, sw, 3)
-    valid = valid.reshape(n_dev, per_dev_batches, sw)
+
+    def device_layout(group_list):
+        """Flatten po2 batch groups, pad to a multiple of n_dev*sw, lay out
+        device-major (n_dev, per_dev_batches, sw, ...). Works on numpy
+        (build time) and traced jnp arrays (runtime geometry override —
+        shapes are static per bucket). Cross-device padding is bounded by
+        n_dev*sw-1 slots."""
+        xp = jnp if any(isinstance(g, jnp.ndarray) for g, _ in group_list) \
+            else np
+        st = xp.concatenate([g.reshape(-1, 3) for g, _ in group_list])
+        va = xp.concatenate([v.reshape(-1) for _, v in group_list])
+        per_dev_batches = -(-st.shape[0] // (n_dev * sw))
+        pad = per_dev_batches * n_dev * sw - st.shape[0]
+        st = xp.concatenate([st, xp.zeros((pad, 3), np.int32)])
+        va = xp.concatenate([va, xp.zeros(pad, np.float32)])
+        return (st.reshape(n_dev, per_dev_batches, sw, 3),
+                va.reshape(n_dev, per_dev_batches, sw))
+
+    starts, valid = device_layout(groups)
 
     imp = inferer.importance()             # (*roi)
 
@@ -120,12 +126,19 @@ def make_sharded_inferer(
         check_vma=False,
     )
 
-    def run(params, volume, rng):
+    def run(params, volume, rng, groups_override=None):
+        """`groups_override`: runtime window geometry (same structure as
+        `inferer._geometry`'s output) — used by the bucketed compile cache
+        so the true clamped starts of each real volume are traced inputs
+        while this program stays keyed on the bucket shape."""
+        if groups_override is not None:
+            st, va = device_layout(groups_override)
+        else:
+            st, va = jnp.asarray(starts), jnp.asarray(valid)
         pads = [(0, p - s) for p, s in zip(pad_shape, (d, h, w))]
         if any(x != (0, 0) for x in pads):
             volume = jnp.pad(volume, pads + [(0, 0)])
-        out = sharded(params, volume, jnp.asarray(starts),
-                      jnp.asarray(valid), rng)
+        out = sharded(params, volume, st, va, rng)
         return out[:d, :h, :w, :]
 
     return jax.jit(run)

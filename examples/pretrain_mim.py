@@ -61,7 +61,7 @@ def main():
     state = train_state.TrainState.create(
         apply_fn=model.apply, params=params, tx=optax.adamw(args.lr),
     )
-    step = make_mim_pretrain_step(model, state.tx)
+    step = make_mim_pretrain_step(model)
 
     t0 = time.time()
     for i in range(args.steps):

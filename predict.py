@@ -37,6 +37,13 @@ def predict_volume(engine, image_path, output_path=None):
         target_spacing=target)
     vol_j = jnp.asarray(vol[..., None], jnp.float32)
 
+    # quant_calibrate: record static activation scales from the first
+    # served volume (the Tester calibrates from the first val volume; a
+    # datalist-free Predictor has only the serving input itself)
+    if engine.quantize and engine.quant_calibrate > 0 \
+            and not getattr(engine, "_act_calibrated", False):
+        engine.calibrate(vol_j)
+
     _, binarized = engine.infer(
         engine.state.params, vol_j, jax.random.key(engine.seed))
     onehot = np.asarray(binarized)                       # (D, H, W, C)
@@ -61,7 +68,8 @@ def main():
 
     cfg = parse_args()
     kwargs = {k: v for k, v in cfg.items() if not k.startswith("__")}
-    for legacy in ("device", "device_ids", "remove_bg"):
+    for legacy in ("device", "device_ids", "remove_bg",
+                   "save_volumes"):   # Tester-only key in shared test.yaml
         kwargs.pop(legacy, None)
     image_path = kwargs.pop("input")
     output_path = kwargs.pop("output", None) or (

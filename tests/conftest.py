@@ -25,6 +25,6 @@ jax.config.update("jax_enable_x64", False)
 # persistent compilation cache: the suite is compile-dominated on 1 vCPU;
 # repeat runs hit the cache (measured 3.2x faster cold-start on the big
 # serving programs, BASELINE.md r3)
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/diff_unet_tpu/xla-test"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+from diff_unet_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable(os.path.expanduser("~/.cache/diff_unet_tpu/xla-test"))

@@ -327,3 +327,36 @@ def test_predict_single_volume(workspace, tmp_path, monkeypatch):
     img = read_nifti(out_path)
     assert img.data.shape == labels.shape
     assert set(np.unique(labels)) <= {0, 1, 2}
+
+
+def test_int8_serving_dice_matches_bf16(workspace, tmp_path, monkeypatch):
+    """Train -> eval dice delta between bf16 and full-depth W8A8 int8
+    serving (quantize + calibrated act scales) on a multi-organ synthetic
+    task — the end-to-end accuracy evidence behind the int8 speedups
+    (reference inference contract: engine.py:167-182)."""
+    root, data, classes = workspace
+    monkeypatch.chdir(tmp_path)
+    from diff_unet_tpu.engine.engine import Trainer, Tester
+
+    trainer = Trainer(
+        model_name="diff_unet", data_path=str(data), classes=str(classes),
+        max_epochs=250, val_freq=1000, save_freq=250, lr=3e-3,
+        log_dir="q", **COMMON,
+    )
+    trainer.train()
+
+    def run(name, **kw):
+        t = Tester(
+            model_name="diff_unet", data_path=str(data),
+            classes=str(classes),
+            model_path=str(tmp_path / "logs/q/weights/epoch_250"),
+            log_dir=name, save_volumes=False, **kw, **COMMON,
+        )
+        return np.asarray(t.test()["dices"])
+
+    d_bf16 = run("q-bf16")
+    d_int8 = run("q-int8", quantize=True, quant_calibrate=1)
+    # the comparison is over real (trained) predictions, not noise
+    assert d_bf16.mean() > 0.5, d_bf16
+    delta = np.abs(d_int8 - d_bf16).max()
+    assert delta < 0.02, (delta, d_bf16, d_int8)

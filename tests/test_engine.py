@@ -203,6 +203,25 @@ def test_infer_bucketed_program_reuse(tmp_path, monkeypatch):
     eng.infer(params, vol, rng)                  # different bucket
     assert len(eng._infer_cache) == 2
 
+    # bucketing must not change WHAT is computed: a non-grid-aligned shape
+    # goes through the bucket-padded program with its true clamped window
+    # starts, so the result equals the direct exact-shape inferer (edge
+    # windows read real data, never the bucket's zero padding)
+    from diff_unet_tpu.engine.sliding_window import (
+        make_ddim_window_predictor,
+    )
+
+    shape = (20, 19, 17)
+    vol = jax.random.normal(jax.random.key(4), (*shape, 1))
+    logits_b, _ = eng.infer(params, vol, rng)
+    predictor = make_ddim_window_predictor(eng.seg)
+    direct = eng._inferer(
+        lambda w, rr: predictor(params, w, rr), vol, rng,
+        out_channels=eng.num_classes,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_b), np.asarray(direct), rtol=2e-4, atol=2e-4)
+
 
 def test_ema_restore_and_eval_path(tmp_path):
     """Train with ema_rate, checkpoint, restore with use_ema=True: the

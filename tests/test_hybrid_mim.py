@@ -49,6 +49,16 @@ def test_pretraining_forward_and_grads():
              for l in jax.tree_util.tree_leaves(g))
     assert np.isfinite(gn) and gn > 0
 
+    # the second view is gradient-isolated INCLUDING the shared head
+    # (reference torch.no_grad scope): a head gradient from view 2 would
+    # let the cosine loss collapse the head instead of training the encoder
+    g2 = jax.grad(
+        lambda p: jnp.sum(m.apply(p, x, jax.random.key(3))
+                          ["contrast_pred_2"]))(params)
+    g2n = sum(float(jnp.sum(jnp.abs(l)))
+              for l in jax.tree_util.tree_leaves(g2))
+    assert g2n == 0.0, g2n
+
 
 def test_encoder_subtree_transfers_to_diffunet():
     """The trained conv_0/down_* subtree drops into BasicUNetEncoder — the
@@ -117,7 +127,7 @@ def test_mim_pretrain_then_graft_finetune(tmp_path):
     params = m.init(jax.random.key(0), x, jax.random.key(2))
     state = ts.TrainState.create(apply_fn=m.apply, params=params,
                                  tx=optax.adamw(1e-3))
-    step = make_mim_pretrain_step(m, state.tx)
+    step = make_mim_pretrain_step(m)
     losses = []
     for i in range(6):
         state, metrics = step(state, x, jax.random.key(7))
