@@ -135,16 +135,8 @@ class BasicUNetDenoiser(nn.Module):
 _ConvParams = ConvParams
 
 
-class _NormParams(nn.Module):
-    """Raw InstanceNorm affine parameters (scale/bias)."""
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        return (
-            self.param("scale", nn.initializers.ones, (self.features,)),
-            self.param("bias", nn.initializers.zeros, (self.features,)),
-        )
+# InstanceNorm affine parameter shell (shared with the packed Swin blocks)
+from diff_unet_tpu.ops.blocks import NormParams as _NormParams  # noqa: E402
 
 
 class PackedConvNormAct(nn.Module):

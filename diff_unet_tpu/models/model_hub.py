@@ -67,11 +67,16 @@ def create_model(
             + ", ".join(sorted(extras)),
             stacklevel=2,
         )
-    if quantize and model_name != "diff_unet":
+    if quantize and model_name not in ("diff_unet", "diff_swin_unetr"):
         raise ValueError(
-            f"quantize=True is only supported for diff_unet (got "
-            f"{model_name}); W8A8 int8 inference covers the BasicUNet "
-            "conv stack (ops/int8.py)"
+            f"quantize=True is only supported for diff_unet and "
+            f"diff_swin_unetr (got {model_name}); W8A8 int8 inference "
+            "covers their conv stacks (ops/int8.py)"
+        )
+    if pack > 1 and model_name not in ("diff_unet", "diff_swin_unetr"):
+        raise ValueError(
+            f"pack={pack} is only supported for diff_unet and "
+            f"diff_swin_unetr (got {model_name}); see ops/packed.py"
         )
     if model_name == "diff_unet":
         from diff_unet_tpu.models.diff_unet import DiffUNet
@@ -99,7 +104,8 @@ def create_model(
         return DiffSwinUNETR(
             out_channels=out_channels, in_channels=in_channels,
             image_size=parse_image_size(image_size, spatial_size),
-            feature_size=feature_size, noise_ratio=noise_ratio, dtype=dtype,
+            feature_size=feature_size, noise_ratio=noise_ratio,
+            pack=pack, quantize=quantize, dtype=dtype,
         )
     if model_name == "swin_unetr":
         from diff_unet_tpu.models.swin_unetr import SwinUNETR

@@ -83,6 +83,19 @@ class ConvParams(nn.Module):
         return k, b
 
 
+class NormParams(nn.Module):
+    """Raw InstanceNorm affine parameters (scale/bias) with InstanceNorm's
+    names and initializers — used by packed/quantized execution paths."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.features,)),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
+
+
 def timestep_embedding(t: jnp.ndarray, dim: int = TEMB_DIM) -> jnp.ndarray:
     """Sinusoidal timestep embedding (reference models/diffusion/utils.py:6-24).
 
@@ -137,15 +150,16 @@ class InstanceNorm(nn.Module):
         # f32 while the elementwise normalisation stays in the compute dtype
         # (measured ~13% faster per conv block on v5e vs the two-pass
         # upcast-everything formulation).
-        mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
-        ex2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)), axis=axes,
+        sdt = jnp.promote_types(x.dtype, jnp.float32)
+        mean = jnp.mean(x, axis=axes, keepdims=True, dtype=sdt)
+        ex2 = jnp.mean(jax.lax.square(x.astype(sdt)), axis=axes,
                        keepdims=True)
         var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
         inv = jax.lax.rsqrt(var + self.epsilon)
         # fold the affine into a single fused multiply-add:
         # y = x * (inv*scale) + (bias - mean*inv*scale)
-        a = (inv * scale.astype(jnp.float32)).astype(x.dtype)
-        b = (bias.astype(jnp.float32) - mean * inv * scale.astype(jnp.float32)
+        a = (inv * scale.astype(sdt)).astype(x.dtype)
+        b = (bias.astype(sdt) - mean * inv * scale.astype(sdt)
              ).astype(x.dtype)
         return (x * a + b).astype(self.dtype or x.dtype)
 

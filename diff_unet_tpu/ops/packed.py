@@ -141,15 +141,16 @@ def packed_instance_norm(
     channel statistics (every block covers the same voxel count)."""
     c = x_p.shape[-1] // f
     axes = tuple(range(1, x_p.ndim - 1))
-    mean_p = jnp.mean(x_p, axis=axes, keepdims=False, dtype=jnp.float32)
-    ex2_p = jnp.mean(lax.square(x_p.astype(jnp.float32)), axis=axes)
+    sdt = jnp.promote_types(x_p.dtype, jnp.float32)
+    mean_p = jnp.mean(x_p, axis=axes, keepdims=False, dtype=sdt)
+    ex2_p = jnp.mean(lax.square(x_p.astype(sdt)), axis=axes)
     # (N, f*C) -> (N, f, C) -> merge blocks
     mean = jnp.mean(mean_p.reshape(-1, f, c), axis=1)
     ex2 = jnp.mean(ex2_p.reshape(-1, f, c), axis=1)
     var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
     inv = lax.rsqrt(var + epsilon)
-    a = inv * scale.astype(jnp.float32)
-    bb = bias.astype(jnp.float32) - mean * a
+    a = inv * scale.astype(sdt)
+    bb = bias.astype(sdt) - mean * a
     a_p = jnp.tile(a, (1, f)).astype(x_p.dtype)
     b_p = jnp.tile(bb, (1, f)).astype(x_p.dtype)
     shape = (x_p.shape[0],) + (1,) * (x_p.ndim - 2) + (x_p.shape[-1],)
@@ -258,6 +259,55 @@ def packed_deconv2_packed(
     )
     if b is not None:
         y = y + jnp.tile(b, f).astype(y.dtype)
+    return y
+
+
+def patch_embed2_kernel(
+    w: jnp.ndarray,             # ORIGINAL (2, 2, 2, Cin, Cout) DHWIO
+    in_groups: List[InGroup],
+) -> jnp.ndarray:
+    """Patch-embed conv (k=2, s=2, VALID) -> packed-INPUT form.
+
+    A stride-2 width-2 conv along W consumes exactly one pack-2 column per
+    output position (original taps w=2k, 2k+1 are the two blocks of packed
+    column k), so in packed space it is a width-1 stride-1 conv whose kernel
+    folds the W tap into input channels: K[dd, dh, 0, rows(g=(i, sl)), :] =
+    w[dd, dh, i, sl, :]. The OUTPUT is unpacked at half resolution — the
+    layout the Swin stages consume (ops/swin.py PatchEmbed)."""
+    assert w.shape[:3] == (2, 2, 2)
+    cout = w.shape[-1]
+    rows = sum(sl.stop - sl.start for _, sl in in_groups)
+    k = jnp.zeros((2, 2, 1, rows, cout), w.dtype)
+    r0 = 0
+    for (i, sl) in in_groups:
+        size = sl.stop - sl.start
+        k = k.at[:, :, 0, r0:r0 + size, :].set(w[:, :, i, sl, :])
+        r0 += size
+    return k
+
+
+def packed_patch_embed2(
+    x_p: jnp.ndarray,           # PACKED (N, D, H, W/2, Cpacked_in)
+    w: jnp.ndarray,             # ORIGINAL (2, 2, 2, Cin, Cout)
+    b: Optional[jnp.ndarray],
+    in_groups: Optional[List[InGroup]] = None,
+    dtype=None,
+) -> jnp.ndarray:
+    """PatchEmbed (conv k2 s2 VALID) from pack-2 input to UNPACKED
+    half-resolution output (see patch_embed2_kernel)."""
+    if dtype is not None:
+        x_p = x_p.astype(dtype)
+        w = w.astype(dtype)
+    if in_groups is None:
+        in_groups = default_groups(w.shape[3], 2)
+    k = patch_embed2_kernel(w, in_groups)
+    y = lax.conv_general_dilated(
+        x_p, k, (2, 2, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=x_p.dtype,
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
     return y
 
 

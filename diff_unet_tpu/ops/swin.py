@@ -320,13 +320,30 @@ class PatchMerging(nn.Module):
 
 
 class PatchEmbed(nn.Module):
-    """Non-overlapping conv patch embedding (patch_embed.py:23-64)."""
+    """Non-overlapping conv patch embedding (patch_embed.py:23-64).
+
+    `packed_groups` (a list of ops.packed.InGroup) marks the input as a
+    pack-2 tensor whose packed-channel layout those groups describe; the
+    stride-2 patch conv then consumes one packed column per output position
+    (ops/packed.py:packed_patch_embed2) and emits the usual UNPACKED
+    half-resolution embedding. Parameter tree identical either way."""
     embed_dim: int
     patch_size: Tuple[int, int, int] = (2, 2, 2)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, packed_groups=None) -> jnp.ndarray:
+        if packed_groups is not None:
+            from diff_unet_tpu.ops import packed as pk
+            from diff_unet_tpu.ops.blocks import ConvParams
+            assert tuple(self.patch_size) == (2, 2, 2), self.patch_size
+            # ORIGINAL input channels (slices address the unpacked Cin
+            # range; every original channel appears once per w-offset)
+            cin = max(sl.stop for _, sl in packed_groups)
+            k, b = ConvParams(self.embed_dim, cin,
+                              kernel=tuple(self.patch_size), name="proj")()
+            return pk.packed_patch_embed2(x, k, b, packed_groups,
+                                          dtype=self.dtype)
         return nn.Conv(self.embed_dim, kernel_size=self.patch_size,
                        strides=self.patch_size, padding="VALID",
                        dtype=self.dtype, name="proj")(x)
@@ -382,7 +399,8 @@ class SwinTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
-                 temb: Optional[jnp.ndarray] = None) -> list[jnp.ndarray]:
+                 temb: Optional[jnp.ndarray] = None,
+                 packed_groups=None) -> list[jnp.ndarray]:
         from diff_unet_tpu.ops.blocks import swish
 
         def t_add(h, i, dim):
@@ -393,7 +411,7 @@ class SwinTransformer(nn.Module):
             return h + proj[:, None, None, None, :].astype(h.dtype)
 
         x0 = PatchEmbed(self.embed_dim, tuple(self.patch_size),
-                        dtype=self.dtype, name="patch_embed")(x)
+                        dtype=self.dtype, name="patch_embed")(x, packed_groups)
         x0 = t_add(x0, 0, self.embed_dim)
         outs = [_stage_layer_norm(x0) if self.normalize else x0]
 
