@@ -290,5 +290,8 @@ def test_unknown_config_keys_warn(tmp_path, monkeypatch):
         create_model("diff_unet", out_channels=2, quantise=True)
 
     # quantize on an unsupported family is a loud error, not a no-op
+    # (diff_unet and diff_swin_unetr are the supported families)
     with pytest.raises(ValueError, match="diff_unet"):
-        create_model("diff_swin_unetr", out_channels=2, quantize=True)
+        create_model("smooth_diff_unet", out_channels=2, quantize=True)
+    with pytest.raises(ValueError, match="pack"):
+        create_model("smooth_diff_unet", out_channels=2, pack=2)
