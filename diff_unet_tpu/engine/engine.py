@@ -389,6 +389,35 @@ class Engine:
         d, h, w = vshape[:3]
         return logits[:d, :h, :w], binary[:d, :h, :w]
 
+    def serve_volumes(self, params, volumes, rng, rngs=None):
+        """Serve a list of volumes through cross-volume continuous window
+        batching (engine/serving.py): windows from consecutive volumes pack
+        into always-full `unit` DDIM batches, so throughput tracks the
+        chip's best window-batch rate instead of paying a per-volume tail
+        dispatch. Returns a list of (logits, binary) pairs on device.
+
+        The unit is the po2 floor of `sw_batch_size` (the same unit the
+        monolithic scheduler uses); per-window noise is keyed on window
+        start coordinates, so results match `infer` per volume."""
+        if getattr(self, "_continuous", None) is None:
+            from diff_unet_tpu.engine.serving import (
+                ContinuousBatchingInferer,
+            )
+            if self.model_type == ModelType.DIFFUSION:
+                predictor = None
+            else:
+                def predictor(p, w, keys):
+                    return self.module.apply(p, w)
+            unit = 1
+            while unit * 2 <= self.sw_batch_size:
+                unit *= 2
+            self._continuous = ContinuousBatchingInferer(
+                self.seg, roi=self._inferer.roi, unit=unit,
+                overlap=self.overlap, mode=self._inferer.mode,
+                predictor=predictor,
+            )
+        return self._continuous.serve(params, volumes, rng, rngs=rngs)
+
 
 class Trainer(Engine):
     def __init__(
@@ -653,7 +682,14 @@ class Predictor(Engine):
 class Tester(Engine):
     def __init__(self, epoch: Optional[int] = None, log_dir: str = "logs",
                  use_ema: bool = False, save_volumes: bool = True,
-                 **kwargs) -> None:
+                 continuous: int = 0, **kwargs) -> None:
+        # continuous=N (YAML key) evaluates N volumes at a time through
+        # cross-volume continuous window batching (serve_volumes): windows
+        # from consecutive cases pack into always-full DDIM batches instead
+        # of paying a per-volume tail dispatch. 0 = serial (reference
+        # semantics, test.py:101-193). Results are identical either way
+        # (noise is keyed on window starts; test_engine.py pins this).
+        self.continuous = int(continuous)
         super().__init__(mode="test", log_dir=log_dir, **kwargs)
         # results.pkl carries the full volume set like the reference
         # (test.py:177-186), but compactly: fp16 images, bool one-hot
@@ -686,8 +722,18 @@ class Tester(Engine):
             self._offline_quantize(calib)
 
     def test(self) -> Dict:
-        for batch in self.dataloader["val"]:
-            self.validation_step(batch)
+        if self.continuous > 0:
+            group: list = []
+            for batch in self.dataloader["val"]:
+                group.append(batch)
+                if len(group) == self.continuous:
+                    self._serve_group(group)
+                    group = []
+            if group:
+                self._serve_group(group)
+        else:
+            for batch in self.dataloader["val"]:
+                self.validation_step(batch)
         mean_dice = float(np.mean(self.results["dices"])) \
             if self.results["dices"] else 0.0
         have = bool(self.results["dices"])
@@ -711,6 +757,23 @@ class Tester(Engine):
         _, outputs = self.infer(
             self.state.params, image, jax.random.key(self.seed)
         )
+        self._record_case(image, labels, outputs,
+                          batch.get("filename", [None])[0])
+
+    def _serve_group(self, group) -> None:
+        """Continuous-batching evaluation of a group of cases; same noise
+        keys as the serial path (one seed key per volume, folded with the
+        window starts), so metrics match validation_step's."""
+        images = [jnp.asarray(b["image"][0]) for b in group]
+        key = jax.random.key(self.seed)
+        results = self.serve_volumes(self.state.params, images, key,
+                                     rngs=[key] * len(images))
+        for b, image, (_, outputs) in zip(group, images, results):
+            labels = self.convert_labels(jnp.asarray(b["label"]))[0]
+            self._record_case(image, labels, outputs,
+                              b.get("filename", [None])[0])
+
+    def _record_case(self, image, labels, outputs, filename) -> None:
         dices = np.asarray(validation_dice(outputs, labels))
         out_np = np.asarray(outputs)
         lab_np = np.asarray(labels)
@@ -729,7 +792,7 @@ class Tester(Engine):
         self.results["dices"].append(dices)
         self.results["hd95s"].append(hd95s)
         self.results["ious"].append(ious)
-        self.results["filenames"].append(batch.get("filename", [None])[0])
+        self.results["filenames"].append(filename)
         if self.save_volumes:
             self.results["images"].append(
                 np.asarray(image)[..., 0].astype(np.float16))
