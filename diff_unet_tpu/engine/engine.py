@@ -389,7 +389,7 @@ class Engine:
         d, h, w = vshape[:3]
         return logits[:d, :h, :w], binary[:d, :h, :w]
 
-    def serve_volumes(self, params, volumes, rng, rngs=None):
+    def serve_volumes(self, params, volumes, rng, rngs=None, on_result=None):
         """Serve a list of volumes through cross-volume continuous window
         batching (engine/serving.py): windows from consecutive volumes pack
         into always-full `unit` DDIM batches, so throughput tracks the
@@ -416,7 +416,8 @@ class Engine:
                 overlap=self.overlap, mode=self._inferer.mode,
                 predictor=predictor,
             )
-        return self._continuous.serve(params, volumes, rng, rngs=rngs)
+        return self._continuous.serve(params, volumes, rng, rngs=rngs,
+                                      on_result=on_result)
 
 
 class Trainer(Engine):

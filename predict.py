@@ -1,17 +1,24 @@
-"""Single-volume serving entry point.
+"""Volume serving entry point.
 
 `python predict.py --config cfg/<ds>/test.yaml input=/path/ct.nii.gz \
      output=/path/seg.nii.gz`
 
-Loads a checkpoint (`model_path`), preprocesses one CT volume exactly like
+Loads a checkpoint (`model_path`), preprocesses CT volumes exactly like
 the evaluation pipeline (intensity window -> RAS -> spacing resample), runs
 sliding-window DDIM inference, maps the argmax segmentation back to the
 class ids of classes.yaml, and writes a NIfTI next to the input affine.
 
-The reference has no single-volume CLI (its Tester only iterates the
-validation datalist, test.py:101-193); this is the serving-shaped
-complement built on the same jitted inference program.
+`input` may be a single file, a comma-separated list, or a glob
+(`input='/data/imgs/*.nii.gz'`): multiple volumes are served through
+cross-volume continuous window batching (engine/serving.py) — windows from
+consecutive cases pack into always-full DDIM batches, and each output file
+is written the moment its volume finalizes.
+
+The reference has no serving CLI (its Tester only iterates the validation
+datalist, test.py:101-193); this is the serving-shaped complement built on
+the same jitted inference programs.
 """
+import glob as globlib
 import warnings
 from pathlib import Path
 
@@ -21,21 +28,42 @@ import jax
 
 warnings.filterwarnings("ignore")
 
+TARGET = (1.5, 1.5, 2.0)   # single source for resample AND output affine
 
-def predict_volume(engine, image_path, output_path=None):
-    """Run whole-volume inference for one NIfTI file; returns the labelmap
-    (D, H, W) int16 in the preprocessed (RAS, resampled) grid."""
+
+def _load_preprocessed(image_path):
+    """NIfTI -> (vol (D,H,W,1) f32 jnp, output affine of the RAS grid)."""
     import jax.numpy as jnp
 
     from diff_unet_tpu.data import nifti
     from diff_unet_tpu.data import transforms as T
 
-    target = (1.5, 1.5, 2.0)   # single source for resample AND output affine
     img = nifti.to_ras(nifti.read_nifti(image_path, dtype=np.float32))
     vol, _ = T.deterministic_preprocess(
         np.asarray(img.data), img.spacing, crop_fg=False,
-        target_spacing=target)
-    vol_j = jnp.asarray(vol[..., None], jnp.float32)
+        target_spacing=TARGET)
+    # full RAS affine of the resampled grid: rotation/shear carried
+    # through, half-voxel resample shift included (VERDICT r3 ask #10)
+    affine = T.resampled_affine(img.affine, img.spacing, TARGET)
+    return jnp.asarray(vol[..., None], jnp.float32), affine
+
+
+def _to_labelmap(engine, binarized):
+    """(D,H,W,C) one-hot -> int16 labelmap over classes.yaml ids."""
+    onehot = np.asarray(binarized)
+    # channel c corresponds to the c-th SORTED class id (convert_labels)
+    ids = np.asarray(sorted(engine.class_names), np.int16)
+    # argmax over predicted classes; background (no channel active) -> 0
+    best = onehot.argmax(-1)
+    return np.where(onehot.max(-1) > 0, ids[best], 0).astype(np.int16)
+
+
+def predict_volume(engine, image_path, output_path=None):
+    """Run whole-volume inference for one NIfTI file; returns the labelmap
+    (D, H, W) int16 in the preprocessed (RAS, resampled) grid."""
+    from diff_unet_tpu.data import nifti
+
+    vol_j, affine = _load_preprocessed(image_path)
 
     # quant_calibrate: record static activation scales from the first
     # served volume (the Tester calibrates from the first val volume; a
@@ -46,20 +74,43 @@ def predict_volume(engine, image_path, output_path=None):
 
     _, binarized = engine.infer(
         engine.state.params, vol_j, jax.random.key(engine.seed))
-    onehot = np.asarray(binarized)                       # (D, H, W, C)
-    # channel c corresponds to the c-th SORTED class id (convert_labels)
-    ids = np.asarray(sorted(engine.class_names), np.int16)
-    # argmax over predicted classes; background (no channel active) -> 0
-    best = onehot.argmax(-1)
-    labels = np.where(onehot.max(-1) > 0, ids[best], 0).astype(np.int16)
+    labels = _to_labelmap(engine, binarized)
 
     if output_path is not None:
-        # full RAS affine of the resampled grid: rotation/shear carried
-        # through, half-voxel resample shift included (VERDICT r3 ask #10)
-        affine = T.resampled_affine(img.affine, img.spacing, target)
         nifti.write_nifti(output_path, labels, affine)
         print(f"segmentation written to {output_path}")
     return labels
+
+
+def predict_many(engine, image_paths, output_paths):
+    """Serve several NIfTI volumes through cross-volume continuous window
+    batching; each output is written as its volume finalizes. Returns the
+    labelmaps in input order."""
+    from diff_unet_tpu.data import nifti
+
+    vols, affines = [], []
+    for p in image_paths:
+        v, a = _load_preprocessed(p)
+        vols.append(v)
+        affines.append(a)
+    if engine.quantize and engine.quant_calibrate > 0 \
+            and not getattr(engine, "_act_calibrated", False):
+        engine.calibrate(vols[0])
+
+    key = jax.random.key(engine.seed)
+    out: list = [None] * len(vols)
+
+    def on_result(i, logits, binarized):
+        labels = _to_labelmap(engine, binarized)
+        out[i] = labels
+        if output_paths[i] is not None:
+            nifti.write_nifti(output_paths[i], labels, affines[i])
+            print(f"segmentation written to {output_paths[i]}")
+
+    # same per-volume rng as the serial path (noise keyed on window starts)
+    engine.serve_volumes(engine.state.params, vols, key,
+                         rngs=[key] * len(vols), on_result=on_result)
+    return out
 
 
 def main():
@@ -68,14 +119,35 @@ def main():
 
     cfg = parse_args()
     kwargs = {k: v for k, v in cfg.items() if not k.startswith("__")}
-    for legacy in ("device", "device_ids", "remove_bg",
-                   "save_volumes"):   # Tester-only key in shared test.yaml
+    for legacy in ("device", "device_ids", "remove_bg", "save_volumes",
+                   "continuous"):     # Tester-only keys in shared test.yaml
         kwargs.pop(legacy, None)
-    image_path = kwargs.pop("input")
-    output_path = kwargs.pop("output", None) or (
-        str(Path(image_path).with_suffix("")) + "_seg.nii.gz")
-    engine = Predictor(**kwargs)
-    predict_volume(engine, image_path, output_path)
+    spec = kwargs.pop("input")
+    output = kwargs.pop("output", None)
+
+    # one file, a comma-separated list, or a glob
+    paths = [p for part in str(spec).split(",") if part.strip()
+             for p in (sorted(globlib.glob(part.strip()))
+                       or [part.strip()])]
+    if not paths:
+        raise FileNotFoundError(f"input matched no files: {spec}")
+
+    def default_out(p):
+        return str(Path(p).name).replace(".nii.gz", "").replace(".nii", "") \
+            + "_seg.nii.gz"
+
+    if len(paths) == 1:
+        out_path = output or (
+            str(Path(paths[0]).with_suffix("")) + "_seg.nii.gz")
+        engine = Predictor(**kwargs)
+        predict_volume(engine, paths[0], out_path)
+    else:
+        # `output` is a directory for multi-input serving
+        out_dir = Path(output) if output else Path(".")
+        out_dir.mkdir(parents=True, exist_ok=True)
+        outs = [str(out_dir / default_out(p)) for p in paths]
+        engine = Predictor(**kwargs)
+        predict_many(engine, paths, outs)
 
 
 if __name__ == "__main__":

@@ -360,3 +360,25 @@ def test_int8_serving_dice_matches_bf16(workspace, tmp_path, monkeypatch):
     assert d_bf16.mean() > 0.5, d_bf16
     delta = np.abs(d_int8 - d_bf16).max()
     assert delta < 0.02, (delta, d_bf16, d_int8)
+
+
+def test_predict_many_continuous(workspace, tmp_path, monkeypatch):
+    """Multi-input predict.py surface: several NIfTIs served through
+    cross-volume continuous window batching; per-volume outputs equal the
+    single-volume serving path (noise keyed on window starts)."""
+    root, data, classes = workspace
+    monkeypatch.chdir(tmp_path)
+    from predict import predict_many, predict_volume
+    from diff_unet_tpu.data.nifti import read_nifti
+    from diff_unet_tpu.engine.engine import Predictor
+
+    engine = Predictor(classes=str(classes), **COMMON)
+    paths = [data / "img_0.nii.gz", data / "img_1.nii.gz"]
+    outs = [str(tmp_path / "seg_0.nii.gz"), str(tmp_path / "seg_1.nii.gz")]
+    many = predict_many(engine, paths, outs)
+    for p, out_path, labels in zip(paths, outs, many):
+        assert labels.dtype == np.int16
+        img = read_nifti(out_path)
+        assert img.data.shape == labels.shape
+        single = predict_volume(engine, p)
+        np.testing.assert_array_equal(labels, single)
