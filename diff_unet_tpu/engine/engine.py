@@ -411,10 +411,11 @@ class Engine:
             unit = 1
             while unit * 2 <= self.sw_batch_size:
                 unit *= 2
+            n_dev = int(np.prod(list(self.mesh.shape.values())))
             self._continuous = ContinuousBatchingInferer(
                 self.seg, roi=self._inferer.roi, unit=unit,
                 overlap=self.overlap, mode=self._inferer.mode,
-                predictor=predictor,
+                predictor=predictor, mesh=self.mesh if n_dev > 1 else None,
             )
         return self._continuous.serve(params, volumes, rng, rngs=rngs,
                                       on_result=on_result)

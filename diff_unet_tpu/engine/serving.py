@@ -100,6 +100,7 @@ class ContinuousBatchingInferer:
         sigma_scale: float = 0.125,
         pipeline_depth: int = 2,
         predictor: Optional[Callable] = None,
+        mesh=None,
     ):
         self.seg = seg
         self.roi = tuple(roi)
@@ -153,7 +154,28 @@ class ContinuousBatchingInferer:
             return logits, (probs > 0.5).astype(jnp.float32)
 
         self._gather = jax.jit(gather)
+        # multi-chip: shard the window batch over the mesh "data" axis, so
+        # one unit batch spreads its windows across chips (the pod-serving
+        # scale-out; ≡ reference DataParallel over sliding-window batches,
+        # engine.py:173 + train.py:136-138). Gather/scatter stay addressed
+        # to the volume's home device; jit reshards at the predict boundary
+        # (windows out over ICI, predictions back for the stitch). Batches
+        # whose size does not divide the data axis (the po2 tail chain)
+        # fall back to the unsharded program.
         self._predict = jax.jit(pred)
+        self._predict_sharded = None
+        self._n_data = 1
+        if mesh is not None and mesh.shape.get("data", 1) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            batch_s = NamedSharding(mesh, PartitionSpec("data"))
+            rep = NamedSharding(mesh, PartitionSpec())
+            self._n_data = int(mesh.shape["data"])
+            self._predict_sharded = jax.jit(
+                pred,
+                in_shardings=(rep, batch_s, batch_s),
+                out_shardings=batch_s,
+            )
         self._concat = jax.jit(
             lambda ws, ks: (jnp.concatenate(ws), jnp.concatenate(ks)))
         self._scatter = jax.jit(scatter, donate_argnums=(0, 1))
@@ -265,7 +287,11 @@ class ContinuousBatchingInferer:
             # bounded pipeline: block on the batch `pipeline_depth` behind
             if len(fences) >= self.pipeline_depth:
                 _block(fences.popleft())
-            preds = self._predict(params, windows, keys)
+            predict = self._predict
+            if (self._predict_sharded is not None
+                    and windows.shape[0] % self._n_data == 0):
+                predict = self._predict_sharded
+            preds = predict(params, windows, keys)
             del windows, keys, parts_w, parts_k
             fences.append(self._digest(preds))
             off = 0

@@ -195,3 +195,27 @@ def test_tester_continuous_matches_serial(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(res_cont["ious"]), np.asarray(res_serial["ious"]),
         rtol=1e-4, atol=1e-4)
+
+
+def test_continuous_sharded_predict_matches_single_device(seg_and_params):
+    """With a multi-device mesh, full unit batches run the predictor
+    sharded over the "data" axis (pod serving scale-out); results must
+    match the unsharded continuous engine."""
+    from diff_unet_tpu.parallel import create_mesh
+
+    seg, params = seg_and_params
+    mesh = create_mesh(jax.devices()[:4])
+    rng = jax.random.key(9)
+    vols = [
+        jax.random.normal(jax.random.key(21), (20, 20, 20, 1), jnp.float32),
+        jax.random.normal(jax.random.key(22), (20, 20, 16, 1), jnp.float32),
+    ]
+    cb1 = ContinuousBatchingInferer(seg, roi=ROI, unit=4, overlap=0.25)
+    cbm = ContinuousBatchingInferer(seg, roi=ROI, unit=4, overlap=0.25,
+                                    mesh=mesh)
+    assert cbm._predict_sharded is not None
+    r1 = cb1.serve(params, vols, rng)
+    rm = cbm.serve(params, vols, rng)
+    for (lg1, _), (lgm, _) in zip(r1, rm):
+        np.testing.assert_allclose(np.asarray(lgm), np.asarray(lg1),
+                                   rtol=2e-4, atol=2e-4)
