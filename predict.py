@@ -100,16 +100,29 @@ def predict_many(engine, image_paths, output_paths):
     key = jax.random.key(engine.seed)
     out: list = [None] * len(vols)
 
-    def on_result(i, logits, binarized):
+    # postprocess + gzip-write on a worker thread: an inline write would
+    # stall the device between window batches (the serve loop dispatches
+    # the next batch only after on_result returns)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def postprocess(i, binarized):
         labels = _to_labelmap(engine, binarized)
         out[i] = labels
         if output_paths[i] is not None:
             nifti.write_nifti(output_paths[i], labels, affines[i])
             print(f"segmentation written to {output_paths[i]}")
 
-    # same per-volume rng as the serial path (noise keyed on window starts)
-    engine.serve_volumes(engine.state.params, vols, key,
-                         rngs=[key] * len(vols), on_result=on_result)
+    with ThreadPoolExecutor(max_workers=1) as writer:
+        futures = []
+
+        def on_result(i, logits, binarized):
+            futures.append(writer.submit(postprocess, i, binarized))
+
+        # same per-volume rng as the serial path (noise keyed on starts)
+        engine.serve_volumes(engine.state.params, vols, key,
+                             rngs=[key] * len(vols), on_result=on_result)
+        for f in futures:
+            f.result()
     return out
 
 
