@@ -29,14 +29,20 @@ def _read(x):
     return float(jnp.ravel(x)[0])
 
 
-def bench(swb, pack, steps=10, n=3):
+def bench(swb, pack, steps=10, n=3, int8=False):
     seg = DiffusionSegmenter(
         module=DiffSwinUNETR(out_channels=C, image_size=(96, 96, 96),
-                             dtype=jnp.bfloat16, pack=pack),
+                             dtype=jnp.bfloat16, pack=pack, quantize=int8),
         num_classes=C, sample_steps=steps,
     )
     shape = (swb, 96, 96, 96, 1)
     params = seg.init(jax.random.key(0), shape)
+    if int8:
+        from diff_unet_tpu.engine.quantize import quantize_inference_params
+        calib = jax.random.normal(jax.random.key(9), (2, 96, 96, 96, 1),
+                                  jnp.float32)
+        params = quantize_inference_params(seg, params,
+                                           calibration_images=[calib])
     image = jax.random.normal(jax.random.key(1), shape, jnp.float32)
     f = jax.jit(lambda p, im, r: seg.ddim_sample(p, im, r))
     t0 = time.perf_counter()
@@ -54,11 +60,13 @@ def bench(swb, pack, steps=10, n=3):
 
 
 if __name__ == "__main__":
-    sws = [int(a) for a in sys.argv[1:]] or [8, 16]
+    int8 = "--int8" in sys.argv
+    sws = [int(a) for a in sys.argv[1:] if not a.startswith("--")] or [8, 16]
     for sw in sws:
         try:
-            bench(sw, 2)
+            bench(sw, 2, int8=int8)
         except Exception as e:  # OOM at larger sw is an expected outcome
             print(json.dumps({"bench": "ddim_diff_swin_unetr", "pack": 2,
-                              "sw_batch": sw, "error": repr(e)[:300]}),
+                              "sw_batch": sw, "int8": int8,
+                              "error": repr(e)[:300]}),
                   flush=True)
