@@ -77,15 +77,23 @@ def quantize_inference_params(
     module = seg.module
     c = seg.num_classes
     # weight record: one tiny denoise apply (int8 kernels are input-
-    # independent); 16 satisfies the packed path's W % 2f == 0
-    d = 16
-    image = jnp.zeros((1, d, d, d, 1), jnp.float32)
-    x = jnp.zeros((1, d, d, d, c), jnp.float32)
-    t = jnp.zeros((1,), jnp.int32)
-    _, rec = jax.jit(
-        lambda p: module.apply(p, image, x, t, method="denoise",
-                               mutable=["quant"])
-    )(params)
+    # independent); 16 satisfies the packed path's W % 2f == 0. Deep
+    # pyramids (DiffSwinUNETR: patch-embed + 3 merges = /16) collapse a
+    # 16^3 input below their decoder's concat grid — retry larger.
+    rec = None
+    for d in (16, 32, 64):
+        image = jnp.zeros((1, d, d, d, 1), jnp.float32)
+        x = jnp.zeros((1, d, d, d, c), jnp.float32)
+        t = jnp.zeros((1,), jnp.int32)
+        try:
+            _, rec = jax.jit(
+                lambda p: module.apply(p, image, x, t, method="denoise",
+                                       mutable=["quant"])
+            )(params)
+            break
+        except (TypeError, ValueError):
+            if d == 64:
+                raise
     qw = _partition(dict(rec["quant"]), lambda k: k.endswith("wq"))
 
     qa = None

@@ -5,9 +5,10 @@ Capability parity with the reference's vendored+modified MONAI Swin stack
 - WindowAttention with 3D relative position bias
   (models/swin_unetr/attention.py:14-120),
 - window partition/reverse/get_window_size (attention.py:163-252),
-- shifted-window region masks (attention.py:123-160) — computed *statically
-  in numpy at trace time* per (resolution, window, shift) instead of on
-  device each forward (reference recomputes them per forward,
+- shifted-window region masks (attention.py:123-160) — the compact (nW, N)
+  region-id table is computed *statically in numpy at trace time* per
+  (resolution, window, shift); the dense (nW, N, N) mask is two on-device
+  ops over it (reference recomputes the whole mask per forward,
   transformer.py:100),
 - SwinTransformerBlock norm->win-attn->residual->MLP (transformer.py:319-482),
 - BasicLayer with alternating no-shift/shift blocks + patch merging
@@ -19,8 +20,9 @@ Capability parity with the reference's vendored+modified MONAI Swin stack
   (transformer.py:124-316: x_stage += t_proj(swish(temb))) and non-affine
   layer-norm `proj_out` stage outputs.
 
-All shapes are static under jit; masks and relative-position indices are
-numpy constants embedded in the compiled program.
+All shapes are static under jit; region-id tables and relative-position
+indices are numpy constants embedded in the compiled program (dense masks
+are derived on device — a dense stage-0 mask constant would be 161 MB).
 """
 from __future__ import annotations
 
@@ -69,10 +71,17 @@ def window_reverse(windows: jnp.ndarray, ws: Sequence[int],
 
 
 @functools.lru_cache(maxsize=None)
-def compute_attn_mask(dims: Tuple[int, ...], ws: Tuple[int, ...],
+def window_region_ids(dims: Tuple[int, ...], ws: Tuple[int, ...],
                       ss: Tuple[int, ...]) -> np.ndarray:
-    """Shifted-window region mask, (nW, N, N) float32 with 0 / -100
-    (attention.py:123-160), computed once in numpy per static geometry."""
+    """Per-token shift-region ids, (nW, N) int32 (attention.py:123-155),
+    computed once in numpy per static geometry.
+
+    This is the compact form of the shifted-window mask: the dense
+    (nW, N, N) mask is `where(ids[:, None, :] != ids[:, :, None], -100, 0)`
+    and is built ON DEVICE (compute_attn_mask) — embedding the dense f32
+    mask as a program constant costs nW*N^2*4 bytes (161 MB at the 96^3
+    stage-0 geometry: 343 windows x 343^2), which overflows compile-request
+    limits and bloats every program; the id constant is N x smaller."""
     d, h, w = dims
     img_mask = np.zeros((1, d, h, w, 1), np.float32)
     cnt = 0
@@ -89,9 +98,16 @@ def compute_attn_mask(dims: Tuple[int, ...], ws: Tuple[int, ...],
     m = img_mask.reshape(1, d // ws[0], ws[0], h // ws[1], ws[1],
                          w // ws[2], ws[2], 1)
     m = m.transpose(0, 1, 3, 5, 2, 4, 6, 7)
-    mw = m.reshape(-1, ws[0] * ws[1] * ws[2])       # (nW, N)
-    attn_mask = mw[:, None, :] - mw[:, :, None]
-    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
+    return m.reshape(-1, ws[0] * ws[1] * ws[2]).astype(np.int32)  # (nW, N)
+
+
+def compute_attn_mask(dims: Tuple[int, ...], ws: Tuple[int, ...],
+                      ss: Tuple[int, ...]) -> jnp.ndarray:
+    """Shifted-window region mask, (nW, N, N) float32 with 0 / -100
+    (attention.py:123-160). Only the (nW, N) region-id table is a
+    compile-time constant; the dense mask is two on-device ops."""
+    mw = jnp.asarray(window_region_ids(dims, ws, ss))
+    return jnp.where(mw[:, None, :] != mw[:, :, None], -100.0, 0.0)
 
 
 @functools.lru_cache(maxsize=None)
@@ -263,7 +279,7 @@ class SwinTransformerBlock(nn.Module):
 
         if any(s > 0 for s in ss):
             x = jnp.roll(x, shift=tuple(-s for s in ss), axis=(1, 2, 3))
-            mask = jnp.asarray(compute_attn_mask((dp, hp, wp), ws, ss))
+            mask = compute_attn_mask((dp, hp, wp), ws, ss)
         else:
             mask = None
         windows = window_partition(x, ws)

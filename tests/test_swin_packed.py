@@ -174,3 +174,52 @@ def test_packed_swin_int8_smoke():
     b = np.asarray(got).ravel()
     corr = float(np.corrcoef(a, b)[0, 1])
     assert corr > 0.99, corr
+
+
+def test_swin_offline_quantization_record():
+    """quantize_inference_params must handle deep pyramids: its weight-
+    record apply at 16^3 collapses the Swin decoder grid (patch-embed + 3
+    merges = /16) and must retry at a larger record size (regression:
+    TypeError concat (1,2,2,2,C) vs (1,1,1,1,C))."""
+    from diff_unet_tpu.api import DiffusionSegmenter
+    from diff_unet_tpu.engine.quantize import quantize_inference_params
+    from diff_unet_tpu.models.swin_unetr import DiffSwinUNETR
+
+    from diff_unet_tpu.engine.quantize import _partition
+
+    seg = DiffusionSegmenter(
+        module=DiffSwinUNETR(out_channels=2, in_channels=1,
+                             image_size=(32, 32, 32), feature_size=12,
+                             pack=F, quantize=True),
+        num_classes=2, sample_steps=2,
+    )
+    params = seg.init(jax.random.key(0), (1, 32, 32, 32, 1))
+    merged = quantize_inference_params(seg, params)
+    assert "quant" in merged
+    img = jax.random.normal(jax.random.key(1), (1, 32, 32, 32, 1))
+    x = jax.random.normal(jax.random.key(2), (1, 32, 32, 32, 2))
+    t = jnp.array([5], jnp.int32)
+    offline = seg.module.apply(merged, img, x, t, method="denoise")
+    ingraph, v = seg.module.apply(params, img, x, t, method="denoise",
+                                  mutable=["quant"])
+    # the semantic invariant: the recorded int8 kernels equal what the
+    # in-graph path quantizes, bitwise; the f32 scales to float tolerance
+    # (two separately-compiled XLA programs may reassociate the abs-max
+    # reduction — observed cross-program delta ~1e-10).
+    qw_in = _partition(dict(v["quant"]), lambda k: k.endswith("wq"))
+    flat_off = dict(jax.tree_util.tree_flatten_with_path(merged["quant"])[0])
+    for path, leaf_in in jax.tree_util.tree_flatten_with_path(qw_in)[0]:
+        leaf_off = flat_off[path]
+        if np.asarray(leaf_in).dtype == np.int8:
+            delta = np.abs(np.asarray(leaf_off, np.int32)
+                           - np.asarray(leaf_in, np.int32))
+            assert delta.max() <= 1, delta.max()          # tie flips only
+            assert (delta != 0).mean() < 1e-3, (delta != 0).mean()
+        else:
+            np.testing.assert_allclose(np.asarray(leaf_off),
+                                       np.asarray(leaf_in), rtol=1e-6)
+    # output parity: the scale noise passes through LayerNorm/InstanceNorm
+    # stacks, so cross-program outputs are close, not bitwise (the bitwise
+    # offline==in-graph pin lives in test_packed.py on the DiffUNet family)
+    np.testing.assert_allclose(np.asarray(offline), np.asarray(ingraph),
+                               rtol=0.05, atol=0.02)
