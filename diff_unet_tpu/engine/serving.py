@@ -214,14 +214,22 @@ class ContinuousBatchingInferer:
         return _VolumeState(vol, accum, weight, rng, n_windows, vshape)
 
     # ---- serving --------------------------------------------------------
-    def serve(self, params, volumes: Sequence, rng: jax.Array,
+    def serve(self, params, volumes, rng: jax.Array,
               rngs: Optional[Sequence[jax.Array]] = None,
               on_result: Optional[Callable] = None):
-        """Serve `volumes` (each (D,H,W,Cin), shapes may differ); returns a
+        """Serve volumes (each (D,H,W,Cin), shapes may differ); returns a
         list of (logits, binary) pairs, each cropped to its real shape.
 
+        `volumes` may be a sequence OR any iterable/generator: volumes are
+        pulled lazily, only when the pending window queue needs refilling to
+        form the next full `unit` batch. A generator backed by producer
+        threads therefore overlaps host-side NIfTI decode + preprocessing
+        with device DDIM batches (predict.py serves this way) — with an
+        up-front list the host pipeline would serialize with the device.
+
         `rng` seeds per-volume RNGs by fold_in(index) unless explicit `rngs`
-        are given. Results stay on device; callers host-read as needed.
+        are given (a sequence, or a callable index -> key for unsized
+        iterables). Results stay on device; callers host-read as needed.
 
         `on_result(i, logits, binary)` streams each volume's result out the
         moment it finalizes INSTEAD of retaining it (the returned list holds
@@ -229,30 +237,53 @@ class ContinuousBatchingInferer:
         ~(bucket * C * 8) bytes per volume (two f32 arrays) and OOMs long
         serving runs; production writes/transfers each case and drops it.
         """
-        n = len(volumes)
         if rngs is None:
-            rngs = [jax.random.fold_in(rng, i) for i in range(n)]
-        # flattened FIFO task list: (volume index, start coordinate).
-        # Geometry needs only shapes; device state (volume, accumulators) is
-        # materialized lazily at the first batch touching each volume and
-        # freed at its finalize, so in-flight device memory is bounded by
-        # the <= 2 volumes a FIFO batch can span.
-        tasks: List[Tuple[int, Tuple[int, int, int]]] = []
+            def _rng_for(i):
+                return jax.random.fold_in(rng, i)
+        elif callable(rngs):
+            _rng_for = rngs
+        else:
+            def _rng_for(i):
+                return rngs[i]
+        # FIFO task queue: (volume index, start coordinate). Device state
+        # (volume, accumulators) is materialized at pull time — immediately
+        # before the volume's first batch — and freed at its finalize, so
+        # in-flight device memory is bounded by the <= 1 + unit/min_windows
+        # volumes a FIFO batch can span plus the <1-unit lookahead.
+        it = iter(volumes)
+        pending: deque = deque()
         states: dict = {}
-        for i in range(n):
+        results: List = []
+        exhausted = False
+
+        def pull():
+            nonlocal exhausted
+            try:
+                vol = next(it)
+            except StopIteration:
+                exhausted = True
+                return
+            i = len(results)
+            results.append(None)
+            states[i] = self._make_state(vol, _rng_for(i))
             roi_padded = tuple(
-                max(r, s) for r, s in zip(self.roi, volumes[i].shape[:3]))
-            tasks.extend((i, s) for s in self._starts(roi_padded))
+                max(r, s) for r, s in zip(self.roi, vol.shape[:3]))
+            pending.extend((i, s) for s in self._starts(roi_padded))
 
-        sizes = [self.unit] * (len(tasks) // self.unit)
-        sizes += _po2_chain(len(tasks) % self.unit, self.unit)
-
-        results: List = [None] * n
         fences: deque = deque()
-        pos = 0
-        for size in sizes:
-            batch = tasks[pos:pos + size]
-            pos += size
+        while True:
+            while not exhausted and len(pending) < self.unit:
+                pull()
+            if not pending:
+                break
+            # full units while the queue allows; once the producer is dry,
+            # drain the tail as a descending po2 chain (same decomposition
+            # the up-front scheduler used: n//unit units + _po2_chain(rest))
+            if len(pending) >= self.unit:
+                size = self.unit
+            else:
+                size = _po2_chain(len(pending), self.unit)[0]
+            batch = [pending.popleft() for _ in range(size)]
             # group the batch into runs of consecutive same-volume tasks,
             # then split each run into descending po2 chunks: run lengths
             # are data-dependent (any 1..n_windows), and every distinct
@@ -273,9 +304,7 @@ class ContinuousBatchingInferer:
             runs = chunks
             parts_w, parts_k = [], []
             for i, group in runs:
-                st = states.get(i)
-                if st is None:
-                    st = states[i] = self._make_state(volumes[i], rngs[i])
+                st = states[i]   # materialized at pull time
                 w, k = self._gather(
                     st.volume, jnp.asarray(group, jnp.int32), st.rng)
                 parts_w.append(w)

@@ -38,7 +38,9 @@ def _load_preprocessed(image_path):
     from diff_unet_tpu.data import nifti
     from diff_unet_tpu.data import transforms as T
 
-    img = nifti.to_ras(nifti.read_nifti(image_path, dtype=np.float32))
+    # no dtype: CT stays int16 through the RAS transpose (half the copy
+    # traffic of an up-front f32 cast); the intensity window casts to f32
+    img = nifti.to_ras(nifti.read_nifti(image_path))
     vol, _ = T.deterministic_preprocess(
         np.asarray(img.data), img.spacing, crop_fg=False,
         target_spacing=TARGET)
@@ -82,45 +84,79 @@ def predict_volume(engine, image_path, output_path=None):
     return labels
 
 
-def predict_many(engine, image_paths, output_paths):
+def predict_many(engine, image_paths, output_paths, *, workers: int = 3,
+                 prefetch: int = 4):
     """Serve several NIfTI volumes through cross-volume continuous window
     batching; each output is written as its volume finalizes. Returns the
-    labelmaps in input order."""
+    labelmaps in input order.
+
+    The host pipeline runs as a bounded producer/consumer around the device:
+    `workers` threads decode+preprocess up to `prefetch` volumes ahead of
+    the serve loop (gzip inflate, RAS transpose and scipy resample all
+    release the GIL), and a writer thread gzips each finished labelmap off
+    the dispatch thread. Loading volumes up front would serialize ~seconds
+    of host work per case with the ~1.3 s/volume device time; streaming
+    keeps the device the bottleneck (benchmarks/e2e_serving_bench.py).
+    """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+    from itertools import chain
+
     from diff_unet_tpu.data import nifti
 
-    vols, affines = [], []
-    for p in image_paths:
-        v, a = _load_preprocessed(p)
-        vols.append(v)
-        affines.append(a)
-    if engine.quantize and engine.quant_calibrate > 0 \
-            and not getattr(engine, "_act_calibrated", False):
-        engine.calibrate(vols[0])
-
+    n = len(image_paths)
+    affines: list = [None] * n
+    out: list = [None] * n
     key = jax.random.key(engine.seed)
-    out: list = [None] * len(vols)
+    futures: list = []
 
-    # postprocess + gzip-write on a worker thread: an inline write would
-    # stall the device between window batches (the serve loop dispatches
-    # the next batch only after on_result returns)
-    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=workers) as loader, \
+            ThreadPoolExecutor(max_workers=1) as writer:
+        pend: deque = deque()
+        submitted = 0
 
-    def postprocess(i, binarized):
-        labels = _to_labelmap(engine, binarized)
-        out[i] = labels
-        if output_paths[i] is not None:
-            nifti.write_nifti(output_paths[i], labels, affines[i])
-            print(f"segmentation written to {output_paths[i]}")
+        def submit_next():
+            nonlocal submitted
+            if submitted < n:
+                pend.append(
+                    loader.submit(_load_preprocessed, image_paths[submitted]))
+                submitted += 1
 
-    with ThreadPoolExecutor(max_workers=1) as writer:
-        futures = []
+        for _ in range(min(prefetch, n)):
+            submit_next()
 
+        def volume_stream():
+            for i in range(n):
+                vol, affine = pend.popleft().result()
+                affines[i] = affine
+                submit_next()
+                yield vol
+
+        stream = volume_stream()
+        first = None
+        if engine.quantize and engine.quant_calibrate > 0 \
+                and not getattr(engine, "_act_calibrated", False):
+            first = next(stream)     # calibrate on the first served volume
+            engine.calibrate(first)
+
+        def postprocess(i, binarized):
+            labels = _to_labelmap(engine, binarized)
+            out[i] = labels
+            if output_paths[i] is not None:
+                nifti.write_nifti(output_paths[i], labels, affines[i])
+                print(f"segmentation written to {output_paths[i]}")
+
+        # postprocess + gzip-write on the worker thread: an inline write
+        # would stall the device between window batches (the serve loop
+        # dispatches the next batch only after on_result returns)
         def on_result(i, logits, binarized):
             futures.append(writer.submit(postprocess, i, binarized))
 
         # same per-volume rng as the serial path (noise keyed on starts)
-        engine.serve_volumes(engine.state.params, vols, key,
-                             rngs=[key] * len(vols), on_result=on_result)
+        engine.serve_volumes(
+            engine.state.params,
+            chain([first], stream) if first is not None else stream,
+            key, rngs=lambda i: key, on_result=on_result)
         for f in futures:
             f.result()
     return out

@@ -57,6 +57,23 @@ def test_to_ras_flip_and_permute():
     assert ras2.data.shape == (3, 4, 2)
 
 
+def test_blocked_copy_large_odd_shapes():
+    """The cache-tiled strided copy (nifti._blocked_copy) must equal a naive
+    contiguous copy above its size threshold, including shapes that don't
+    divide the tile size and flipped+transposed views."""
+    from diff_unet_tpu.data.nifti import _blocked_copy
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(-1000, 1000, size=(70, 130, 310)).astype(np.int16)
+    assert a.size * a.itemsize >= (1 << 22)
+    for view in (a.transpose(2, 1, 0), a[::-1, :, ::-1].transpose(1, 0, 2)):
+        got = _blocked_copy(view)
+        assert got.flags.c_contiguous
+        np.testing.assert_array_equal(got, np.ascontiguousarray(view))
+    # contiguous input passes through untouched
+    assert _blocked_copy(a) is a
+
+
 def test_scale_intensity_window():
     img = np.array([-500.0, -175.0, 37.5, 250.0, 1000.0])
     out = T.scale_intensity_range(img)

@@ -92,6 +92,43 @@ def test_continuous_matches_monolithic_mixed_shapes(seg_and_params):
                                       np.asarray(expect_bin))
 
 
+def test_continuous_streaming_generator_matches_list(seg_and_params):
+    """serve() pulls volumes lazily: a generator input (the predict.py
+    producer-thread pipeline) must give identical results to a list, pull
+    each volume only when the pending queue needs it, and accept a callable
+    rng factory (unsized iterables can't take an rng list)."""
+    seg, params = seg_and_params
+    rng = jax.random.key(21)
+    shapes = [(20, 20, 16, 1), (20, 20, 20, 1), (16, 16, 16, 1)]
+    volumes = [
+        jax.random.normal(jax.random.key(30 + i), s, jnp.float32)
+        for i, s in enumerate(shapes)
+    ]
+    cb = ContinuousBatchingInferer(seg, roi=ROI, unit=8, overlap=0.25)
+    ref = cb.serve(params, volumes, rng)
+
+    pulled = []
+
+    def stream():
+        for i, v in enumerate(volumes):
+            pulled.append(i)
+            yield v
+
+    streamed: dict = {}
+    cb2 = ContinuousBatchingInferer(seg, roi=ROI, unit=8, overlap=0.25)
+    out = cb2.serve(
+        params, stream(), rng,
+        rngs=lambda i: jax.random.fold_in(rng, i),
+        on_result=lambda i, lg, bn: streamed.setdefault(i, (lg, bn)),
+    )
+    assert pulled == [0, 1, 2]
+    assert out == [None, None, None]   # streamed via on_result
+    assert sorted(streamed) == [0, 1, 2]
+    for i in range(len(volumes)):
+        np.testing.assert_array_equal(np.asarray(streamed[i][0]),
+                                      np.asarray(ref[i][0]))
+
+
 def test_continuous_gaussian_mode(seg_and_params):
     seg, params = seg_and_params
     rng = jax.random.key(3)
