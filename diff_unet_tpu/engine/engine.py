@@ -701,6 +701,10 @@ class Tester(Engine):
         self.results = {"images": [], "outputs": [], "labels": [],
                         "dices": [], "ious": [], "hd95s": [],
                         "filenames": []}
+        # per-case table: wandb.Table(patient, image+masks, dice, hd95, iou,
+        # per-class) when wandb is live, cases.jsonl mirror always
+        # (reference test.py:82-83 + engine.py:217-248)
+        self.logger.start_case_table(self.class_names)
         shape = (1, self.spatial_size, self.image_size, self.image_size, 1)
         tx = make_optimizer()
         self.state = create_train_state(
@@ -750,6 +754,7 @@ class Tester(Engine):
             ious=(np.mean(self.results["ious"], axis=0) if have else None),
         ))
         print(f"mean dice : {mean_dice:.4f}")
+        self.logger.log_case_table()  # wandb.log({"table": ...}), test.py:110
         self.save_results()
         return self.results
 
@@ -804,11 +809,25 @@ class Tester(Engine):
         vis_dir = self.log_dir / "vis"
         vis_dir.mkdir(parents=True, exist_ok=True)
         idx = len(self.results["dices"]) - 1
+        img_np = np.asarray(image)[..., 0]
+        pred_lbl = np.argmax(out_np, axis=-1)
+        lab_lbl = np.argmax(lab_np, axis=-1)
         self.logger.save_midslice_png(
-            vis_dir / f"case{idx}.png",
-            np.asarray(image)[..., 0],
-            output=np.argmax(out_np, axis=-1),
-            label=np.argmax(lab_np, axis=-1),
+            vis_dir / f"case{idx}.png", img_np,
+            output=pred_lbl, label=lab_lbl,
+        )
+        # per-case table row: mid-slice at 0.75 depth like the reference's
+        # get_numpy_image (engine.py:184-196)
+        mid = int(img_np.shape[0] * 0.75)
+        patient = (Path(filename).name.split(".")[0] if filename
+                   else f"case{idx}")
+        self.logger.add_case(
+            patient, img_np[mid], pred_lbl[mid], lab_lbl[mid],
+            mean_dice=float(np.mean(dices)),
+            mean_hd95=float(np.nanmean(np.asarray(hd95s, np.float64)))
+            if not np.all(np.isnan(hd95s)) else float("nan"),
+            mean_iou=float(np.mean(ious)),
+            class_dices=dices,
         )
 
     def save_results(self) -> None:

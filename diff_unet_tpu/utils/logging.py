@@ -106,6 +106,83 @@ class MetricLogger:
             rows.append(row)
         return format_table(headers, rows)
 
+    # ---- per-case segmentation table (reference wandb table parity) -----
+    def start_case_table(self, class_names: Dict[int, str]) -> None:
+        """Begin the per-case results table.
+
+        Reference: `wandb.Table(columns=["patient","image","dice","hd95",
+        "iou"] + class_names)` (test.py:82-83) filled by `log_plot`'s
+        `wandb.Image(image, masks={"prediction": ..., "label": ...})`
+        (engine.py:226-243). When wandb is importable the exact same table
+        is built; regardless, every row is mirrored to `cases.jsonl` so the
+        artifact exists without external services.
+        """
+        self._case_class_names = dict(class_names)
+        self._case_rows: list = []
+        self._case_table = None
+        if self._wandb is not None:  # pragma: no cover - needs wandb
+            import wandb
+            self._case_table = wandb.Table(
+                columns=["patient", "image", "dice", "hd95", "iou"]
+                + list(class_names.values())
+            )
+
+    def add_case(
+        self,
+        patient: str,
+        image2d: np.ndarray,
+        pred_mask2d: np.ndarray,
+        label_mask2d: np.ndarray,
+        mean_dice: float,
+        mean_hd95: float,
+        mean_iou: float,
+        class_dices: Sequence[float],
+    ) -> None:
+        """One table row: mid-slice image with prediction/label mask
+        overlays + case metrics (engine.py:217-248 `log_plot`)."""
+        row = {
+            "patient": patient,
+            "dice": float(mean_dice),
+            "hd95": float(mean_hd95),
+            "iou": float(mean_iou),
+            **{
+                name: float(d)
+                for name, d in zip(self._case_class_names.values(),
+                                   class_dices)
+            },
+        }
+        self._case_rows.append(row)
+        if self._case_table is not None:  # pragma: no cover - needs wandb
+            import wandb
+            plot = wandb.Image(
+                np.asarray(image2d),
+                masks={
+                    "prediction": {
+                        "mask_data": np.asarray(pred_mask2d),
+                        "class_labels": self._case_class_names,
+                    },
+                    "label": {
+                        "mask_data": np.asarray(label_mask2d),
+                        "class_labels": self._case_class_names,
+                    },
+                },
+            )
+            self._case_table.add_data(
+                patient, plot, float(mean_dice), float(mean_hd95),
+                float(mean_iou), *[float(d) for d in class_dices]
+            )
+
+    def log_case_table(self) -> None:
+        """Flush the table: `wandb.log({"table": self.table})`
+        (test.py:110) + the local `cases.jsonl` mirror."""
+        if self.log_dir and getattr(self, "_case_rows", None) is not None:
+            with open(self.log_dir / "cases.jsonl", "w") as f:
+                for row in self._case_rows:
+                    f.write(json.dumps(row) + "\n")
+        if (self._wandb is not None
+                and self._case_table is not None):  # pragma: no cover
+            self._wandb.log({"table": self._case_table})
+
     def save_midslice_png(self, path, image: np.ndarray,
                           output: Optional[np.ndarray] = None,
                           label: Optional[np.ndarray] = None,

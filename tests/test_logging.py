@@ -1,0 +1,98 @@
+"""Observability tests: per-case segmentation table (wandb parity).
+
+The reference builds `wandb.Table(columns=["patient","image","dice","hd95",
+"iou"] + class_names)` (test.py:82-83), fills it via `log_plot`'s
+`wandb.Image(img, masks={"prediction","label"})` (engine.py:217-248), and
+flushes with `wandb.log({"table": ...})` (test.py:110). The environment has
+no wandb, so the wandb surface is exercised through a stub module; the local
+`cases.jsonl` mirror is tested for real.
+"""
+import json
+import sys
+import types
+
+import numpy as np
+
+from diff_unet_tpu.utils.logging import MetricLogger
+
+
+def _case_args():
+    img = np.random.rand(8, 8).astype(np.float32)
+    pred = np.random.randint(0, 3, (8, 8))
+    lab = np.random.randint(0, 3, (8, 8))
+    return img, pred, lab
+
+
+def test_case_table_local_jsonl(tmp_path):
+    logger = MetricLogger(str(tmp_path))
+    names = {1: "spleen", 2: "liver"}
+    logger.start_case_table(names)
+    img, pred, lab = _case_args()
+    logger.add_case("amos_0001", img, pred, lab,
+                    mean_dice=0.8, mean_hd95=3.0, mean_iou=0.7,
+                    class_dices=[0.75, 0.85])
+    logger.add_case("amos_0002", img, pred, lab,
+                    mean_dice=0.9, mean_hd95=2.0, mean_iou=0.8,
+                    class_dices=[0.88, 0.92])
+    logger.log_case_table()
+    rows = [json.loads(line)
+            for line in (tmp_path / "cases.jsonl").read_text().splitlines()]
+    assert [r["patient"] for r in rows] == ["amos_0001", "amos_0002"]
+    assert rows[0]["dice"] == 0.8 and rows[0]["hd95"] == 3.0
+    assert rows[1]["spleen"] == 0.88 and rows[1]["liver"] == 0.92
+    logger.close()
+
+
+def test_case_table_wandb_stub(tmp_path, monkeypatch):
+    calls = {"images": [], "logged": []}
+
+    class FakeTable:
+        def __init__(self, columns):
+            self.columns = list(columns)
+            self.data = []
+
+        def add_data(self, *row):
+            self.data.append(row)
+
+    class FakeImage:
+        def __init__(self, data, masks=None):
+            calls["images"].append((np.asarray(data).shape, masks))
+
+    class FakeRun:
+        id = "fake-run-id"
+
+        def log(self, payload, step=None):
+            calls["logged"].append(payload)
+
+        def finish(self):
+            pass
+
+    fake = types.ModuleType("wandb")
+    fake.Table = FakeTable
+    fake.Image = FakeImage
+    fake.init = lambda **kw: FakeRun()
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    logger = MetricLogger(str(tmp_path), use_wandb=True, project_name="p")
+    assert logger.wandb_id == "fake-run-id"
+    names = {1: "spleen", 2: "liver"}
+    logger.start_case_table(names)
+    # reference column order: patient, image, dice, hd95, iou, classes
+    assert logger._case_table.columns == \
+        ["patient", "image", "dice", "hd95", "iou", "spleen", "liver"]
+    img, pred, lab = _case_args()
+    logger.add_case("amos_0001", img, pred, lab,
+                    mean_dice=0.8, mean_hd95=3.0, mean_iou=0.7,
+                    class_dices=[0.75, 0.85])
+    # wandb.Image got prediction+label mask overlays with class labels
+    shape, masks = calls["images"][0]
+    assert shape == (8, 8)
+    assert set(masks) == {"prediction", "label"}
+    assert masks["prediction"]["class_labels"] == names
+    assert masks["prediction"]["mask_data"].shape == (8, 8)
+    row = logger._case_table.data[0]
+    assert row[0] == "amos_0001" and row[2] == 0.8
+    assert row[5:] == (0.75, 0.85)
+    logger.log_case_table()
+    assert any("table" in p for p in calls["logged"])
+    logger.close()
