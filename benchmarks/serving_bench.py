@@ -7,7 +7,11 @@ comparable to the monolithic whole-volume number in BASELINE.md (34.3 bf16 /
 sw=8 rate + a tail dispatch; packing windows across volumes into full
 16-batches runs everything at the sw=16 rate (BASELINE.md r3 calibration).
 
-Usage: python benchmarks/serving_bench.py [n_volumes] [unit] [--int8]
+Usage: python benchmarks/serving_bench.py [n_volumes] [unit] [--int8] [--swin]
+
+--swin serves through DiffSwinUNETR (feature_size=48, pack-2) instead of the
+flagship DiffUNet — same scheduler, different denoiser; fills the Swin
+whole-volume serving row (BASELINE.md has only its step rate otherwise).
 """
 import json
 import os
@@ -37,12 +41,16 @@ def main():
     n_vol = int(args[0]) if args else 8
     unit = int(args[1]) if len(args) > 1 else 16
     int8 = "--int8" in sys.argv
+    swin = "--swin" in sys.argv
 
-    seg = DiffusionSegmenter(
-        module=DiffUNet(out_channels=C, dtype=jnp.bfloat16, pack=2,
-                        quantize=int8),
-        num_classes=C, sample_steps=10,
-    )
+    if swin:
+        from diff_unet_tpu.models.swin_unetr import DiffSwinUNETR
+        module = DiffSwinUNETR(out_channels=C, image_size=(96, 96, 96),
+                               dtype=jnp.bfloat16, pack=2, quantize=int8)
+    else:
+        module = DiffUNet(out_channels=C, dtype=jnp.bfloat16, pack=2,
+                          quantize=int8)
+    seg = DiffusionSegmenter(module=module, num_classes=C, sample_steps=10)
     params = seg.init(jax.random.key(0), (8, 96, 96, 96, 1))
     if int8:
         from diff_unet_tpu.engine.quantize import quantize_inference_params
@@ -80,6 +88,7 @@ def main():
 
     print(json.dumps({
         "bench": "continuous_serving_ddim10",
+        "model": "diff_swin_unetr" if swin else "diff_unet",
         "dtype": "int8" if int8 else "bf16",
         "n_volumes": n_vol, "unit": unit, "vol_shape": list(VOL),
         "volumes_per_min": round(60.0 * n_vol / dt, 2),

@@ -140,13 +140,17 @@ class MetricLogger:
     ) -> None:
         """One table row: mid-slice image with prediction/label mask
         overlays + case metrics (engine.py:217-248 `log_plot`)."""
+        def _num(v):
+            v = float(v)
+            return v if np.isfinite(v) else None  # strict-JSON safe
+
         row = {
             "patient": patient,
-            "dice": float(mean_dice),
-            "hd95": float(mean_hd95),
-            "iou": float(mean_iou),
+            "dice": _num(mean_dice),
+            "hd95": _num(mean_hd95),
+            "iou": _num(mean_iou),
             **{
-                name: float(d)
+                name: _num(d)
                 for name, d in zip(self._case_class_names.values(),
                                    class_dices)
             },
