@@ -72,28 +72,44 @@ def main():
             return out
         return wrap
 
-    for name in ("_gather", "_concat", "_predict", "_scatter",
-                 "_finalize", "_digest"):
+    for name in ("_concat", "_predict", "_digest"):
         setattr(cb, name, timed(name, getattr(cb, name)))
+
+    # gather/scatter/finalize live in the per-bucket program LRU: wrap the
+    # dict the LRU hands out so every dispatch is timed regardless of bucket
+    orig_bucket_programs = cb._bucket_programs
+
+    def bucket_programs(bucket):
+        progs = orig_bucket_programs(bucket)
+        if not progs.get("_timed"):
+            for name in ("_gather", "_scatter", "_finalize"):
+                progs[name[1:]] = timed(name, progs[name[1:]])
+            progs["_timed"] = True
+        return progs
+
+    cb._bucket_programs = bucket_programs
     orig_block = serving._block
+    # restore the module global even if serve raises (OOM, interrupt) —
+    # otherwise the timing wrapper leaks for the rest of the process
     serving._block = timed("fence_wait", orig_block)
+    try:
+        def drain(i, logits, binary):
+            t0 = time.perf_counter()
+            _ = float(logits[0, 0, 0, 0])
+            acc["drain_read"] += time.perf_counter() - t0
+            cnt["drain_read"] += 1
 
-    def drain(i, logits, binary):
         t0 = time.perf_counter()
-        _ = float(logits[0, 0, 0, 0])
-        acc["drain_read"] += time.perf_counter() - t0
-        cnt["drain_read"] += 1
+        cb.serve(params, volumes, jax.random.key(1), on_result=drain)
+        print(f"# warmup: {time.perf_counter() - t0:.1f}s", flush=True)
 
-    t0 = time.perf_counter()
-    cb.serve(params, volumes, jax.random.key(1), on_result=drain)
-    print(f"# warmup: {time.perf_counter() - t0:.1f}s", flush=True)
-
-    acc.clear()
-    cnt.clear()
-    t0 = time.perf_counter()
-    cb.serve(params, volumes, jax.random.key(2), on_result=drain)
-    dt = time.perf_counter() - t0
-    serving._block = orig_block
+        acc.clear()
+        cnt.clear()
+        t0 = time.perf_counter()
+        cb.serve(params, volumes, jax.random.key(2), on_result=drain)
+        dt = time.perf_counter() - t0
+    finally:
+        serving._block = orig_block
 
     segs = {k: round(v, 3) for k, v in sorted(acc.items())}
     accounted = sum(acc.values())

@@ -57,7 +57,13 @@ from diff_unet_tpu.models.model_hub import (
     create_model,
     get_model_type,
 )
-from diff_unet_tpu.parallel import create_mesh, replicate, shard_batch
+from diff_unet_tpu.parallel import (
+    create_mesh,
+    gather_eval_rows,
+    replicate,
+    sequential_eval_shard,
+    shard_batch,
+)
 from diff_unet_tpu.utils.logging import MetricLogger, ProgressMeter
 
 
@@ -67,6 +73,19 @@ def convert_labels(labels: jnp.ndarray, class_ids: Sequence[int]
     (possibly non-contiguous) class ids (engine.py:157-165 parity)."""
     ids = jnp.asarray(list(class_ids))
     return (labels[..., None] == ids).astype(jnp.float32)
+
+
+def channels_to_class_ids(onehot: np.ndarray,
+                          class_ids: Sequence[int]) -> np.ndarray:
+    """One-hot channels (..., C) -> integer CLASS-ID map; voxels with no
+    active channel are background (0). The inverse of `convert_labels`:
+    channel c corresponds to the c-th sorted class id, so a plain argmax
+    would collide background with the first class and shift every organ's
+    id by one in overlays/exports (ADVICE r3)."""
+    ids = np.asarray([0] + sorted(class_ids))
+    onehot = np.asarray(onehot)
+    best = onehot.argmax(-1).astype(np.int64)
+    return ids[np.where(onehot.max(-1) > 0, best + 1, 0)]
 
 
 class Engine:
@@ -399,7 +418,14 @@ class Engine:
         The unit is the po2 floor of `sw_batch_size` (the same unit the
         monolithic scheduler uses); per-window noise is keyed on window
         start coordinates, so results match `infer` per volume."""
-        if getattr(self, "_continuous", None) is None:
+        unit = 1
+        while unit * 2 <= self.sw_batch_size:
+            unit *= 2
+        # keyed on the serving config: changing sw_batch_size/overlap/roi
+        # between calls must rebuild the inferer, not be silently ignored
+        # (VERDICT r3 weak #6)
+        cfg_key = (unit, self._inferer.roi, self.overlap, self._inferer.mode)
+        if getattr(self, "_continuous_key", None) != cfg_key:
             from diff_unet_tpu.engine.serving import (
                 ContinuousBatchingInferer,
             )
@@ -408,15 +434,13 @@ class Engine:
             else:
                 def predictor(p, w, keys):
                     return self.module.apply(p, w)
-            unit = 1
-            while unit * 2 <= self.sw_batch_size:
-                unit *= 2
             n_dev = int(np.prod(list(self.mesh.shape.values())))
             self._continuous = ContinuousBatchingInferer(
                 self.seg, roi=self._inferer.roi, unit=unit,
                 overlap=self.overlap, mode=self._inferer.mode,
                 predictor=predictor, mesh=self.mesh if n_dev > 1 else None,
             )
+            self._continuous_key = cfg_key
         return self._continuous.serve(params, volumes, rng, rngs=rngs,
                                       on_result=on_result)
 
@@ -496,6 +520,11 @@ class Trainer(Engine):
         self.noise_ratio = meta.get("noise_ratio", self.noise_ratio)
         self.project_name = meta.get("project_name", self.project_name)
         self.wandb_id = meta.get("id")
+        # resumed training logs into the SAME wandb run: hand the restored
+        # id to the (lazily-initialized) logger so its wandb.init receives
+        # id=..., resume=True (reference train.py:152-164)
+        if self.wandb_id:
+            self.logger.resume(self.wandb_id)
         print(f"Checkpoint loaded from {model_path}")
 
     def load_pretrained_weights(self, pretrained_path: str) -> None:
@@ -728,18 +757,34 @@ class Tester(Engine):
             self._offline_quantize(calib)
 
     def test(self) -> Dict:
-        if self.continuous > 0:
-            group: list = []
-            for batch in self.dataloader["val"]:
+        # multi-process: each process evaluates only its contiguous shard
+        # of the val set and the metric rows are all-gathered in rank order
+        # afterwards — 1/N the inference work per process (the reference's
+        # SequentialDistributedSampler + distributed_concat,
+        # light_training/trainer.py:307 + sampler.py:5-48). Volumes,
+        # overlays, and the per-case table stay local to each process's
+        # shard; the metric arrays, printed table, and mean dice are global.
+        n_proc = jax.process_count()
+        num_items = len(self.dataloader["val"])
+        shard = sequential_eval_shard(num_items) if n_proc > 1 else None
+        filenames_all: list = []
+        group: list = []
+        for idx, batch in enumerate(self.dataloader["val"]):
+            if shard is not None:
+                filenames_all.append(batch.get("filename", [None])[0])
+                if idx not in shard:
+                    continue
+            if self.continuous > 0:
                 group.append(batch)
                 if len(group) == self.continuous:
                     self._serve_group(group)
                     group = []
-            if group:
-                self._serve_group(group)
-        else:
-            for batch in self.dataloader["val"]:
+            else:
                 self.validation_step(batch)
+        if group:
+            self._serve_group(group)
+        if shard is not None:
+            self._gather_shard_metrics(num_items, filenames_all, n_proc)
         mean_dice = float(np.mean(self.results["dices"])) \
             if self.results["dices"] else 0.0
         have = bool(self.results["dices"])
@@ -766,6 +811,25 @@ class Tester(Engine):
         )
         self._record_case(image, labels, outputs,
                           batch.get("filename", [None])[0])
+
+    def _gather_shard_metrics(self, num_items: int, filenames, n_proc: int
+                              ) -> None:
+        """Merge per-process metric rows into the global result set.
+
+        Local rows are padded with NaN to the even per-process share
+        (ceil-split puts all padding at the global tail), all-gathered in
+        rank order, and truncated to `num_items` — exactly the reference's
+        `distributed_concat(...)[:num_total_examples]` (sampler.py:44-48)."""
+        per = -(-num_items // n_proc)
+        c = self.num_classes
+        for key in ("dices", "hd95s", "ious"):
+            rows = np.asarray(self.results[key], np.float64).reshape(-1, c)
+            pad = per - rows.shape[0]
+            if pad > 0:
+                rows = np.concatenate([rows, np.full((pad, c), np.nan)])
+            self.results[key] = list(
+                gather_eval_rows(rows, num_items, num_processes=n_proc))
+        self.results["filenames"] = filenames
 
     def _serve_group(self, group) -> None:
         """Continuous-batching evaluation of a group of cases; same noise
@@ -810,8 +874,9 @@ class Tester(Engine):
         vis_dir.mkdir(parents=True, exist_ok=True)
         idx = len(self.results["dices"]) - 1
         img_np = np.asarray(image)[..., 0]
-        pred_lbl = np.argmax(out_np, axis=-1)
-        lab_lbl = np.argmax(lab_np, axis=-1)
+        class_ids = sorted(self.class_names.keys())
+        pred_lbl = channels_to_class_ids(out_np, class_ids)
+        lab_lbl = channels_to_class_ids(lab_np, class_ids)
         self.logger.save_midslice_png(
             vis_dir / f"case{idx}.png", img_np,
             output=pred_lbl, label=lab_lbl,

@@ -29,7 +29,7 @@ tests/test_serving.py).
 """
 from __future__ import annotations
 
-from collections import deque
+from collections import OrderedDict, deque
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -60,15 +60,17 @@ def _po2_chain(n: int, unit: int) -> List[int]:
 class _VolumeState:
     """Device-resident serving state for one in-flight volume."""
 
-    __slots__ = ("volume", "accum", "weight", "rng", "remaining", "shape")
+    __slots__ = ("volume", "accum", "weight", "rng", "remaining", "shape",
+                 "bucket")
 
-    def __init__(self, volume, accum, weight, rng, remaining, shape):
+    def __init__(self, volume, accum, weight, rng, remaining, shape, bucket):
         self.volume = volume
         self.accum = accum
         self.weight = weight
         self.rng = rng
         self.remaining = remaining
         self.shape = shape
+        self.bucket = bucket
 
 
 class ContinuousBatchingInferer:
@@ -153,7 +155,18 @@ class ContinuousBatchingInferer:
             probs = jax.nn.sigmoid(logits)
             return logits, (probs > 0.5).astype(jnp.float32)
 
-        self._gather = jax.jit(gather)
+        # Volume-shaped programs (gather/scatter/finalize retrace per
+        # BUCKET shape) live in a bounded LRU of per-bucket jit wrappers:
+        # a long heterogeneous stream would otherwise accumulate compiled
+        # programs without bound inside per-instance jax.jit caches
+        # (parity with Engine._infer_cache; VERDICT r3 weak #6). Evicting
+        # a bucket drops its jit objects and thereby their programs; a
+        # still-in-flight volume whose bucket was evicted just recompiles.
+        self._gather_fn = gather
+        self._scatter_fn = scatter
+        self._finalize_fn = finalize
+        self._programs: "OrderedDict[tuple, dict]" = OrderedDict()
+        self._programs_size = 8
         # multi-chip: shard the window batch over the mesh "data" axis, so
         # one unit batch spreads its windows across chips (the pod-serving
         # scale-out; ≡ reference DataParallel over sliding-window batches,
@@ -178,8 +191,6 @@ class ContinuousBatchingInferer:
             )
         self._concat = jax.jit(
             lambda ws, ks: (jnp.concatenate(ws), jnp.concatenate(ks)))
-        self._scatter = jax.jit(scatter, donate_argnums=(0, 1))
-        self._finalize = jax.jit(finalize)
         # fence: a scalar digest of the batch prediction. Blocking on this
         # (instead of holding the (unit, *roi, C) preds array itself, which
         # is ~850 MB at unit=16/96^3/15cls) lets the preds buffer die as
@@ -211,7 +222,24 @@ class ContinuousBatchingInferer:
         accum = jnp.zeros((*bucket, self.num_classes), jnp.float32)
         # no trailing 1-dim: (D,H,W,1) would pad 1 -> 128 lanes on v5e
         weight = jnp.zeros(bucket, jnp.float32)
-        return _VolumeState(vol, accum, weight, rng, n_windows, vshape)
+        return _VolumeState(vol, accum, weight, rng, n_windows, vshape,
+                            tuple(bucket))
+
+    def _bucket_programs(self, bucket: tuple) -> dict:
+        """Per-bucket jitted gather/scatter/finalize, bounded LRU."""
+        progs = self._programs.get(bucket)
+        if progs is None:
+            progs = {
+                "gather": jax.jit(self._gather_fn),
+                "scatter": jax.jit(self._scatter_fn, donate_argnums=(0, 1)),
+                "finalize": jax.jit(self._finalize_fn),
+            }
+            self._programs[bucket] = progs
+            while len(self._programs) > self._programs_size:
+                self._programs.popitem(last=False)
+        else:
+            self._programs.move_to_end(bucket)
+        return progs
 
     # ---- serving --------------------------------------------------------
     def serve(self, params, volumes, rng: jax.Array,
@@ -305,7 +333,7 @@ class ContinuousBatchingInferer:
             parts_w, parts_k = [], []
             for i, group in runs:
                 st = states[i]   # materialized at pull time
-                w, k = self._gather(
+                w, k = self._bucket_programs(st.bucket)["gather"](
                     st.volume, jnp.asarray(group, jnp.int32), st.rng)
                 parts_w.append(w)
                 parts_k.append(k)
@@ -326,13 +354,14 @@ class ContinuousBatchingInferer:
             off = 0
             for i, group in runs:
                 st = states[i]
-                st.accum, st.weight = self._scatter(
+                progs = self._bucket_programs(st.bucket)
+                st.accum, st.weight = progs["scatter"](
                     st.accum, st.weight, preds,
                     jnp.asarray(group, jnp.int32), np.int32(off))
                 off += len(group)
                 st.remaining -= len(group)
                 if st.remaining == 0:
-                    logits, binary = self._finalize(st.accum, st.weight)
+                    logits, binary = progs["finalize"](st.accum, st.weight)
                     d, h, w = st.shape[:3]
                     out = (logits[:d, :h, :w], binary[:d, :h, :w])
                     del states[i], logits, binary  # free volume + accum

@@ -6,6 +6,7 @@ from diff_unet_tpu.parallel.mesh import (  # noqa: F401
 from diff_unet_tpu.parallel.distributed import (  # noqa: F401
     auto_initialize,
     create_pod_mesh,
+    gather_eval_rows,
     global_batch_from_local,
     local_batch_indices,
     replicate_across_processes,

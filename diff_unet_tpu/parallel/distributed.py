@@ -167,3 +167,26 @@ def sequential_eval_shard(num_items: int,
     start = pid * per
     return range(start, min(start + per, num_items)) if start < num_items \
         else range(num_items, num_items)
+
+
+def gather_eval_rows(rows, num_items: int,
+                     num_processes: Optional[int] = None) -> np.ndarray:
+    """All-gather per-process eval metric rows in rank order and truncate to
+    `num_items` — `distributed_concat(...)[:num_total_examples]`
+    (light_training/sampler.py:44-48, trainer.py:307).
+
+    `rows` is this process's `sequential_eval_shard` results padded to
+    exactly ceil(num_items/n) rows (collectives need equal shapes; the
+    ceil-split puts all padding at the global tail, so truncation removes
+    exactly the pads). Single-process is the identity (minus padding).
+    """
+    n = jax.process_count() if num_processes is None else num_processes
+    rows = np.asarray(rows)
+    per = -(-num_items // n)
+    if rows.shape[0] != per:
+        raise ValueError(f"expected {per} padded rows, got {rows.shape[0]}")
+    if n == 1:
+        return rows[:num_items]
+    from jax.experimental import multihost_utils
+    gathered = np.asarray(multihost_utils.process_allgather(rows))
+    return gathered.reshape((-1,) + gathered.shape[2:])[:num_items]

@@ -55,25 +55,65 @@ class MetricLogger:
         if self.log_dir:
             self.log_dir.mkdir(parents=True, exist_ok=True)
             self._file = open(self.log_dir / "metrics.jsonl", "a")
+        # wandb starts LAZILY (first log/table call, or wandb_id access):
+        # Engine constructs the logger before a checkpoint's saved run id is
+        # known (Trainer.load_checkpoint), and an eager init would open a
+        # NEW run instead of resuming the old one (reference restores the id
+        # first and passes it to wandb.init, train.py:152-164).
         self._wandb = None
-        self.wandb_id = wandb_id or 0
-        if use_wandb:
-            try:
-                import wandb  # optional; absent in this environment
-                if wandb_id:
-                    self._wandb = wandb.init(
-                        project=project_name, id=wandb_id, resume=True
-                    )
-                else:
-                    self._wandb = wandb.init(
-                        project=project_name, name=run_name, config=config
-                    )
-                self.wandb_id = self._wandb.id
-            except Exception as e:  # pragma: no cover
-                print(f"[logger] wandb unavailable ({e}); falling back to "
-                      "stdout/jsonl", file=sys.stderr)
+        self._wandb_failed = False
+        self._use_wandb = use_wandb
+        self._project_name = project_name
+        self._run_name = run_name
+        self._config = config
+        self._pending_id = wandb_id
+
+    def _ensure_wandb(self) -> None:
+        if (not self._use_wandb or self._wandb is not None
+                or self._wandb_failed):
+            return
+        try:
+            import wandb  # optional; absent in this environment
+            if self._pending_id:
+                self._wandb = wandb.init(
+                    project=self._project_name, id=self._pending_id,
+                    resume=True,
+                )
+            else:
+                self._wandb = wandb.init(
+                    project=self._project_name, name=self._run_name,
+                    config=self._config,
+                )
+            self._pending_id = self._wandb.id
+        except Exception as e:  # pragma: no cover
+            self._wandb_failed = True
+            print(f"[logger] wandb unavailable ({e}); falling back to "
+                  "stdout/jsonl", file=sys.stderr)
+
+    @property
+    def wandb_id(self):
+        """The run id to persist into checkpoints (engine.py:136-140).
+        Starts the wandb run on first access so the id exists to save."""
+        self._ensure_wandb()
+        return self._pending_id or 0
+
+    def resume(self, wandb_id) -> None:
+        """Adopt a checkpoint-restored run id so subsequent logging
+        continues the SAME wandb run (reference train.py:152-164 +
+        engine.py:209-211). If a different run was already started, it is
+        finished and re-initialized with `resume=True`."""
+        if not wandb_id:
+            return
+        if self._wandb is not None:
+            if getattr(self._wandb, "id", None) == wandb_id:
+                return
+            self._wandb.finish()  # pragma: no cover - needs an eager run
+            self._wandb = None
+        self._pending_id = wandb_id
+        self._ensure_wandb()
 
     def log(self, metrics: Dict, step: Optional[int] = None) -> None:
+        self._ensure_wandb()
         record = {"time": time.time(), "step": step, **{
             k: (float(v) if isinstance(v, (int, float, np.floating)) else v)
             for k, v in metrics.items()
@@ -117,6 +157,7 @@ class MetricLogger:
         is built; regardless, every row is mirrored to `cases.jsonl` so the
         artifact exists without external services.
         """
+        self._ensure_wandb()
         self._case_class_names = dict(class_names)
         self._case_rows: list = []
         self._case_table = None
@@ -158,16 +199,26 @@ class MetricLogger:
         self._case_rows.append(row)
         if self._case_table is not None:  # pragma: no cover - needs wandb
             import wandb
+            # masks carry CLASS IDS (0 = background); the overlay legend
+            # needs an explicit background entry or wandb renders id 0 with
+            # the first organ's name (ADVICE r3)
+            class_labels = {0: "background", **self._case_class_names}
+            # wandb mis-renders float intensities outside [0,1]; min-max
+            # normalize to uint8 like the reference's get_numpy_image *255
+            # cast (engine.py:184-196)
+            img = np.asarray(image2d, np.float32)
+            lo, hi = float(img.min()), float(img.max())
+            img8 = ((img - lo) / max(hi - lo, 1e-8) * 255).astype(np.uint8)
             plot = wandb.Image(
-                np.asarray(image2d),
+                img8,
                 masks={
                     "prediction": {
                         "mask_data": np.asarray(pred_mask2d),
-                        "class_labels": self._case_class_names,
+                        "class_labels": class_labels,
                     },
                     "label": {
                         "mask_data": np.asarray(label_mask2d),
-                        "class_labels": self._case_class_names,
+                        "class_labels": class_labels,
                     },
                 },
             )

@@ -96,7 +96,8 @@ def predict_many(engine, image_paths, output_paths, *, workers: int = 3,
     release the GIL), and a writer thread gzips each finished labelmap off
     the dispatch thread. Loading volumes up front would serialize ~seconds
     of host work per case with the ~1.3 s/volume device time; streaming
-    keeps the device the bottleneck (benchmarks/e2e_serving_bench.py).
+    keeps the device the bottleneck (benchmarks/serving_bench.py measures
+    the rate; benchmarks/serving_probe.py decomposes the overhead).
     """
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor

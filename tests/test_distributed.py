@@ -216,3 +216,66 @@ def test_multiprocess_train_step_matches_single_process(tmp_path):
         loss, digest = float(m.group(2)), float(m.group(3))
         np.testing.assert_allclose(loss, loss_ref, rtol=1e-4)
         np.testing.assert_allclose(digest, digest_ref, rtol=1e-4)
+
+
+def test_gather_eval_rows_single_process_identity():
+    """n=1: the padded local rows come back truncated to num_items."""
+    from diff_unet_tpu.parallel import gather_eval_rows
+
+    rows = np.arange(3 * 2, dtype=np.float64).reshape(3, 2)
+    got = gather_eval_rows(rows, num_items=3, num_processes=1)
+    np.testing.assert_array_equal(got, rows)
+    try:
+        gather_eval_rows(rows[:2], num_items=3, num_processes=1)
+        assert False, "expected ValueError on wrong padding"
+    except ValueError:
+        pass
+
+
+def test_multiprocess_gather_eval_rows(tmp_path):
+    """REAL cross-process eval gather: two processes each hold their
+    sequential shard's metric rows (padded to the even share) and
+    gather_eval_rows returns the rank-ordered, truncated global rows on
+    every process — `distributed_concat(...)[:num_total_examples]`
+    (light_training/sampler.py:44-48, trainer.py:307)."""
+    import re
+    import sys
+    import textwrap
+    from pathlib import Path
+
+    from diff_unet_tpu.parallel.launch import launch
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    worker = tmp_path / "gather_worker.py"
+    worker.write_text(textwrap.dedent(f"""
+        import os
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=2")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import numpy as np
+        import sys
+        sys.path.insert(0, {repo!r})
+        from diff_unet_tpu.parallel import (
+            auto_initialize, gather_eval_rows, sequential_eval_shard)
+
+        assert auto_initialize() is True
+        pid = jax.process_index()
+        # 3 items, 2 ranks: rank0 evaluates {{0,1}}, rank1 {{2}} + NaN pad
+        num_items, per, c = 3, 2, 2
+        shard = list(sequential_eval_shard(num_items))
+        rows = np.full((per, c), np.nan)
+        for j, item in enumerate(shard):
+            rows[j] = [item * 10.0, item * 10.0 + 1.0]
+        out = gather_eval_rows(rows, num_items)
+        assert out.shape == (num_items, c), out.shape
+        expect = np.asarray([[0.0, 1.0], [10.0, 11.0], [20.0, 21.0]])
+        np.testing.assert_allclose(out, expect)
+        print("GATHER_OK", pid)
+    """))
+
+    results = launch([sys.executable, str(worker)], nprocs=2, timeout=240)
+    for r in results:
+        assert "GATHER_OK" in r.stdout, r.stdout + r.stderr
