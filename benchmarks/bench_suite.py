@@ -110,7 +110,8 @@ if __name__ == "__main__":
                tag="diff_unet")
     bench_train_step()
     bench_whole_volume()
+    # pack-2 full-res conv blocks: the BASELINE.md r3 36.3 steps/s config
     bench_ddim(
-        DiffSwinUNETR(out_channels=C, image_size=(96, 96, 96),
+        DiffSwinUNETR(out_channels=C, image_size=(96, 96, 96), pack=2,
                       dtype=jnp.bfloat16), 8, tag="diff_swin_unetr",
     )

@@ -69,45 +69,70 @@ def timed(name, module, *args):
 
 
 def main():
+    # component selection: a 30-min all-in-one run exceeds what the 1-vCPU
+    # compile budget allows; run pieces in separate processes.
+    #   --full   the DDIM loop body (whole denoiser)
+    #   --swin   the SwinTransformer backbone
+    #   --stages per-stage Swin timings (stage 1..4 standalone)
+    #   --convs  the UNETR conv blocks
+    which = set(a for a in sys.argv[1:] if a.startswith("--")) or {
+        "--swin", "--convs"}
     temb = jnp.zeros((SW, 512), DT)
     x16 = jax.random.normal(jax.random.key(1), (SW, R, R, R, 16), DT)
-    print(f"DiffSwinUNETR step breakdown  sw={SW} {R}^3 bf16", flush=True)
-
-    # full model: the DDIM loop body (denoise with precomputed embeddings)
-    model = DiffSwinUNETR(out_channels=C, image_size=(R, R, R), dtype=DT)
-    image = jax.random.normal(jax.random.key(2), (SW, R, R, R, 1), DT)
-    xt = jax.random.normal(jax.random.key(3), (SW, R, R, R, C), DT)
-    t = jnp.zeros((SW,), jnp.int32)
-    params = model.init(jax.random.key(0), image, xt, t)
-    emb = jax.jit(
-        lambda p, im: model.apply(p, im, method="embed"))(params, image)
-    dt_full = chain_time(
-        lambda im, x: model.apply(params, x, t, emb, im,
-                                  method="denoise_with_embeddings"),
-        (image, xt))
-    print(f"{'denoise (loop body, full)':34s} {dt_full * 1e3:8.2f} ms",
+    print(f"DiffSwinUNETR step breakdown  sw={SW} {R}^3 bf16  {which}",
           flush=True)
 
-    # swin ViT backbone on the concat input
-    swin = SwinTransformer(embed_dim=48, depths=(2, 2, 2, 2),
-                           num_heads=(3, 6, 12, 24), time_conditioned=True,
-                           dtype=DT)
-    sp = swin.init(jax.random.key(0), x16, temb)
-    dt_swin = chain_time(
-        lambda x, tb: swin.apply(sp, x, tb)[4], (x16, temb))
-    print(f"{'swinViT (5 stages)':34s} {dt_swin * 1e3:8.2f} ms", flush=True)
+    if "--full" in which:
+        # full model: the DDIM loop body (denoise w/ precomputed embeddings)
+        model = DiffSwinUNETR(out_channels=C, image_size=(R, R, R), dtype=DT)
+        image = jax.random.normal(jax.random.key(2), (SW, R, R, R, 1), DT)
+        xt = jax.random.normal(jax.random.key(3), (SW, R, R, R, C), DT)
+        t = jnp.zeros((SW,), jnp.int32)
+        params = model.init(jax.random.key(0), image, xt, t)
+        emb = jax.jit(
+            lambda p, im: model.apply(p, im, method="embed"))(params, image)
+        dt_full = chain_time(
+            lambda im, x: model.apply(params, x, t, emb, im,
+                                      method="denoise_with_embeddings"),
+            (image, xt))
+        print(f"{'denoise (loop body, full)':34s} {dt_full * 1e3:8.2f} ms",
+              flush=True)
 
-    # the two full-resolution (96^3) conv blocks
-    h48 = jax.random.normal(jax.random.key(4), (SW, R // 2, R // 2, R // 2,
-                                                48), DT)
-    x48 = jax.random.normal(jax.random.key(5), (SW, R, R, R, 48), DT)
-    timed("encoder1 (96^3, 16->48->48)", UnetrBasicBlock(48, dtype=DT),
-          x16, temb)
-    timed("decoder1 (48^3->96^3 up + res)", UnetrUpBlock(48, dtype=DT),
-          h48, x48, temb)
-    # one half-resolution pair for contrast
-    timed("encoder2 (48^3, 48->48)", UnetrBasicBlock(48, dtype=DT),
-          h48, temb)
+    if "--swin" in which:
+        # swin ViT backbone on the concat input
+        swin = SwinTransformer(embed_dim=48, depths=(2, 2, 2, 2),
+                               num_heads=(3, 6, 12, 24),
+                               time_conditioned=True, dtype=DT)
+        sp = swin.init(jax.random.key(0), x16, temb)
+        dt_swin = chain_time(
+            lambda x, tb: swin.apply(sp, x, tb)[4], (x16, temb))
+        print(f"{'swinViT (5 stages)':34s} {dt_swin * 1e3:8.2f} ms",
+              flush=True)
+
+    if "--stages" in which:
+        # one stage at a time: BasicLayer(dim, depth=2) at its live geometry
+        from diff_unet_tpu.ops.swin import BasicLayer
+        for i, (dim, heads, res) in enumerate(
+                [(48, 3, 48), (96, 6, 24), (192, 12, 12), (384, 24, 6)]):
+            xs = jax.random.normal(jax.random.key(6 + i),
+                                   (SW, res, res, res, dim), DT)
+            layer = BasicLayer(dim=dim, depth=2, num_heads=heads,
+                               window_size=(7, 7, 7), downsample=True,
+                               dtype=DT)
+            timed(f"stage{i + 1} ({res}^3, C={dim}, h={heads})", layer, xs)
+
+    if "--convs" in which:
+        # the two full-resolution (96^3) conv blocks
+        h48 = jax.random.normal(jax.random.key(4),
+                                (SW, R // 2, R // 2, R // 2, 48), DT)
+        x48 = jax.random.normal(jax.random.key(5), (SW, R, R, R, 48), DT)
+        timed("encoder1 (96^3, 16->48->48)", UnetrBasicBlock(48, dtype=DT),
+              x16, temb)
+        timed("decoder1 (48^3->96^3 up + res)", UnetrUpBlock(48, dtype=DT),
+              h48, x48, temb)
+        # one half-resolution pair for contrast
+        timed("encoder2 (48^3, 48->48)", UnetrBasicBlock(48, dtype=DT),
+              h48, temb)
 
 
 if __name__ == "__main__":

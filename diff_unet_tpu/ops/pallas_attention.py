@@ -2,57 +2,208 @@
 
 Computes softmax(q k^T * scale + rel_bias [+ region_mask]) v for Swin-style
 local windows in a single kernel — the hot op of the Swin family
-(SURVEY.md #25). The XLA path materialises the (BW, H, N, N) score tensor in
-HBM several times (scores, +bias, +mask, softmax); at stage 0 of a 96^3
-volume that is ~1 GB of traffic per pass. This kernel keeps the N x N scores
-in VMEM: one HBM read of q/k/v (plus the small shared bias/mask tables) and
-one write of the output.
+(SURVEY.md #25; reference models/swin_unetr/attention.py:14-120). The XLA
+path materialises the (BW, H, N, N) score tensor in HBM several times
+(scores, +bias, +mask, softmax); at stage 1 of a 96^3 volume that is ~4 GB
+of traffic per pass. This kernel keeps the N x N scores in VMEM: one HBM
+read of q/k/v plus the small shared bias table and one write of the output.
 
-Grid: one program per (window, head). The relative-position bias (H, N, N)
-is shared across windows; the shifted-window region mask (nW, N, N) is
-indexed per window via the BlockSpec index map. Token count N is padded to a
-multiple of 128 by the caller; padded key tokens are masked with -inf before
-the softmax.
+v2 design (the v1 kernel lost most of its win to three costs it didn't
+have to pay — measured in BASELINE.md "round-4 Swin attention"):
+- matmuls run in the INPUT dtype (bf16) with f32 accumulation, like the XLA
+  einsum path; v1 upcast q/k/v to f32 and paid 4-8x on the MXU.
+- the shifted-window mask rides the Q K^T matmul: the per-window one-hot
+  region encoding (R, N) is appended to q (scaled by +100) and k, so
+  [q; 100e]^T [k; e] = q^T k + 100*same_region — row-shift-equivalent to
+  the reference's -100*different — and for K <= 128 the MXU pass latency
+  is independent of K, so the masking is free; v1 loaded a dense (N, N)
+  f32 mask block per program (~590 KB x windows x heads = gigabytes of
+  HBM reads) and added it on the VPU.
+- the grid is (heads, windows) with windows minor, so the (N, N) bias block
+  index is unchanged across consecutive programs and Pallas fetches it once
+  per head instead of once per program.
+- the key-padding mask is pre-baked into the bias columns (caller side), and
+  the softmax normaliser is folded into p before the PV matmul, so the
+  epilogue is max/exp/sum plus a single fused multiply.
+
+Grid: one program per (head, window). The relative-position bias (H, N, N)
+is shared across windows; region ids are indexed per window via the
+BlockSpec index map. Token count N is padded to a multiple of 128 by the
+caller; padded key tokens carry -1e30 bias columns and region id -1.
+
+Backward: `pallas_call` has no autodiff rules; `fused_window_attention`
+wraps the kernel in a custom_vjp whose backward recomputes the attention
+with the jnp reference path and differentiates that (same math, XLA
+backward) — training through the fused kernel works and matches the
+einsum path's gradients.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attn_body(q_ref, k_ref, v_ref, bias_ref, mask_ref, nvalid_ref, o_ref):
+def _attn_body(q_ref, k_ref, v_ref, bias_ref, enc_ref, o_ref):
     """q/k/v/o refs are (Dh, N): tokens in the lane dimension (128-aligned),
-    head_dim in sublanes — the layout Mosaic tiling requires for Dh < 128."""
-    n = q_ref.shape[1]
-    q = q_ref[:].astype(jnp.float32)
-    k = k_ref[:].astype(jnp.float32)
-    v = v_ref[:].astype(jnp.float32)
+    head_dim in sublanes — the layout Mosaic tiling requires for Dh < 128.
+    Matmuls run in the ref dtype (bf16 in production) with f32 accumulation;
+    softmax statistics are f32.
 
-    # scores[nq, nk] = sum_d q[d, nq] k[d, nk]
+    The shifted-window region mask rides the Q K^T matmul: enc_ref is the
+    per-window one-hot region encoding (R, N); [q; 100*enc]^T [k; enc]
+    = q^T k + 100*same_region(q, k), and softmax is row-shift-invariant, so
+    +100*same is exactly the reference's -100*different. For K <= 128 the
+    MXU pass latency is independent of K, so the masking costs nothing."""
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    if enc_ref is not None:
+        e = enc_ref[:]
+        q = jnp.concatenate([q, (100.0 * e).astype(q.dtype)], axis=0)
+        k = jnp.concatenate([k, e.astype(k.dtype)], axis=0)
+
+    # scores[nq, nk] = sum_d q[d, nq] k[d, nk]  (f32 accumulation)
     scores = jax.lax.dot_general(
         q, k, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    scores = scores + bias_ref[:].astype(jnp.float32)
-    if mask_ref is not None:
-        scores = scores + mask_ref[:].astype(jnp.float32)
-
-    nvalid = nvalid_ref[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    scores = jnp.where(col < nvalid, scores, -1e30)
+    # bias carries the key-padding -1e30 columns (baked in by the caller)
+    scores = scores + bias_ref[:]
 
     m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    e_s = jnp.exp(scores - m)
+    r = 1.0 / jnp.sum(e_s, axis=-1, keepdims=True)
+    p = (e_s * r).astype(v.dtype)
     # out[d, nq] = sum_nk v[d, nk] p[nq, nk]
     o_ref[:] = jax.lax.dot_general(
         v, p, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _region_onehot_cached(ids_bytes, shape, n):
+    ids = np.frombuffer(ids_bytes, np.int32).reshape(shape)
+    nw, nv = ids.shape
+    r = int(-(-(ids.max() + 1) // 16) * 16)   # sublane-tile-aligned R
+    enc = np.zeros((nw, r, n), np.float32)
+    w_idx, t_idx = np.meshgrid(np.arange(nw), np.arange(nv), indexing="ij")
+    enc[w_idx.ravel(), ids.ravel(), t_idx.ravel()] = 1.0
+    return enc
+
+
+def _region_onehot(region_ids: np.ndarray, n: int) -> np.ndarray:
+    """Static (nW, R, N) one-hot region encoding; padded tokens all-zero."""
+    ids = np.ascontiguousarray(region_ids.astype(np.int32))
+    return _region_onehot_cached(ids.tobytes(), ids.shape, n)
+
+
+def _pallas_forward(qt, kt, vt, bias, n_valid, region_ids, n_windows):
+    """Transposed-layout core: q/k/v arrive (BW, H, Dh, N) — tokens already
+    in the lane dimension — and the output keeps that layout."""
+    bw, h, dh, n = qt.shape
+    assert n % 128 == 0, "caller must pad tokens to a multiple of 128"
+    qt = qt * (dh ** -0.5)
+
+    # key-padding mask baked into the bias columns (saves an in-kernel
+    # iota/compare/select on every (N, N) tile)
+    bias = bias.astype(jnp.float32)
+    if n_valid < n:
+        colmask = np.zeros((1, 1, n), np.float32)
+        colmask[..., n_valid:] = -1e30
+        bias = bias + colmask
+
+    # heads major / windows minor: the bias block index is constant across
+    # the inner window sweep, so its copy is elided after the first fetch
+    grid = (h, bw)
+    qkv_spec = pl.BlockSpec((1, 1, dh, n), lambda j, i: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, n, n), lambda j, i: (j, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    if region_ids is not None:
+        enc = _region_onehot(region_ids, n)               # (nW, R, N) np
+        enc = jnp.asarray(enc, dtype=qt.dtype)
+        r_dim = enc.shape[1]
+        enc_spec = pl.BlockSpec(
+            (1, r_dim, n), lambda j, i: (i % n_windows, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+        def kernel(q_ref, k_ref, v_ref, b_ref, enc_ref, o_ref):
+            _attn_body(q_ref.at[0, 0], k_ref.at[0, 0], v_ref.at[0, 0],
+                       b_ref.at[0], enc_ref.at[0], o_ref.at[0, 0])
+
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((bw, h, dh, n), qt.dtype),
+            grid=grid,
+            in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, enc_spec],
+            out_specs=qkv_spec,
+        )(qt, kt, vt, bias, enc)
+    else:
+        def kernel(q_ref, k_ref, v_ref, b_ref, o_ref):
+            _attn_body(q_ref.at[0, 0], k_ref.at[0, 0], v_ref.at[0, 0],
+                       b_ref.at[0], None, o_ref.at[0, 0])
+
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((bw, h, dh, n), qt.dtype),
+            grid=grid,
+            in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
+            out_specs=qkv_spec,
+        )(qt, kt, vt, bias)
+    return out
+
+
+def fused_window_attention_t(
+    qt: jnp.ndarray,                # (BW, H, Dh, N) — tokens in lanes
+    kt: jnp.ndarray,
+    vt: jnp.ndarray,
+    bias: jnp.ndarray,              # (H, N, N) rel-pos bias, window-shared
+    n_valid: int,
+    region_ids: Optional[np.ndarray] = None,  # STATIC (nW, n_valid) ids
+    n_windows: int = 1,             # windows per batch element (mask cycle)
+) -> jnp.ndarray:
+    """Differentiable fused window attention in the kernel-native transposed
+    layout (the module uses this to reach the kernel with ONE relayout of
+    the qkv projection instead of three). Output is (BW, H, Dh, N).
+    Backward recomputes through the jnp reference path (XLA backward)."""
+    if region_ids is not None:
+        region_ids = np.asarray(region_ids)
+        assert region_ids.shape[0] == n_windows
+
+    @jax.custom_vjp
+    def attn(qt, kt, vt, bias):
+        return _pallas_forward(qt, kt, vt, bias, n_valid, region_ids,
+                               n_windows)
+
+    def fwd(qt, kt, vt, bias):
+        return attn(qt, kt, vt, bias), (qt, kt, vt, bias)
+
+    def bwd(res, g):
+        qt, kt, vt, bias = res
+
+        def ref_t(qt_, kt_, vt_, b_):
+            out = reference_window_attention(
+                qt_.transpose(0, 1, 3, 2), kt_.transpose(0, 1, 3, 2),
+                vt_.transpose(0, 1, 3, 2), b_, n_valid,
+                _dense_mask(region_ids) if region_ids is not None else None,
+                n_windows=n_windows,
+            )
+            return out.transpose(0, 1, 3, 2)
+
+        _, vjp = jax.vjp(ref_t, qt, kt, vt, bias)
+        return vjp(g)
+
+    attn.defvjp(fwd, bwd)
+    return attn(qt, kt, vt, bias)
 
 
 def fused_window_attention(
@@ -61,72 +212,45 @@ def fused_window_attention(
     v: jnp.ndarray,
     bias: jnp.ndarray,              # (H, N, N) rel-pos bias, window-shared
     n_valid: int,
-    mask: Optional[jnp.ndarray] = None,   # (nW, N, N) region mask
+    region_ids: Optional[np.ndarray] = None,  # STATIC (nW, n_valid) ids
     n_windows: int = 1,             # windows per batch element (mask cycle)
 ) -> jnp.ndarray:
-    bw, h, n, dh = q.shape
-    assert n % 128 == 0, "caller must pad tokens to a multiple of 128"
-    q = q * (dh ** -0.5)
-    nvalid_arr = jnp.full((1,), n_valid, jnp.int32)
-
-    # (BW, H, N, Dh) -> (BW, H, Dh, N): tokens into the lane dimension
-    qt = q.transpose(0, 1, 3, 2)
-    kt = k.transpose(0, 1, 3, 2)
-    vt = v.transpose(0, 1, 3, 2)
-
-    grid = (bw, h)
-    qkv_spec = pl.BlockSpec((1, 1, dh, n), lambda i, j: (i, j, 0, 0),
-                            memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((1, n, n), lambda i, j: (j, 0, 0),
-                             memory_space=pltpu.VMEM)
-    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-
-    if mask is not None:
-        mask_spec = pl.BlockSpec(
-            (1, n, n), lambda i, j: (i % n_windows, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-
-        def kernel(q_ref, k_ref, v_ref, b_ref, m_ref, nv_ref, o_ref):
-            _attn_body(q_ref.at[0, 0], k_ref.at[0, 0], v_ref.at[0, 0],
-                       b_ref.at[0], m_ref.at[0], nv_ref, o_ref.at[0, 0])
-
-        out = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((bw, h, dh, n), q.dtype),
-            grid=grid,
-            in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec,
-                      smem_spec],
-            out_specs=qkv_spec,
-        )(qt, kt, vt, bias, mask, nvalid_arr)
-    else:
-        def kernel(q_ref, k_ref, v_ref, b_ref, nv_ref, o_ref):
-            _attn_body(q_ref.at[0, 0], k_ref.at[0, 0], v_ref.at[0, 0],
-                       b_ref.at[0], None, nv_ref, o_ref.at[0, 0])
-
-        out = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((bw, h, dh, n), q.dtype),
-            grid=grid,
-            in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, smem_spec],
-            out_specs=qkv_spec,
-        )(qt, kt, vt, bias, nvalid_arr)
+    """(BW, H, N, Dh)-layout wrapper around fused_window_attention_t."""
+    out = fused_window_attention_t(
+        q.transpose(0, 1, 3, 2), k.transpose(0, 1, 3, 2),
+        v.transpose(0, 1, 3, 2), bias, n_valid, region_ids, n_windows,
+    )
     return out.transpose(0, 1, 3, 2)
+
+
+@functools.lru_cache(maxsize=None)
+def _dense_mask_cached(ids_bytes, shape):
+    ids = np.frombuffer(ids_bytes, np.int32).reshape(shape)
+    return jnp.where(
+        jnp.asarray(ids[:, None, :] != ids[:, :, None]), -100.0, 0.0
+    )
+
+
+def _dense_mask(region_ids: np.ndarray) -> jnp.ndarray:
+    ids = np.ascontiguousarray(region_ids.astype(np.int32))
+    return _dense_mask_cached(ids.tobytes(), ids.shape)
 
 
 def reference_window_attention(q, k, v, bias, n_valid, mask=None,
                                n_windows: int = 1):
-    """jnp reference used for kernel parity tests."""
+    """jnp reference used for kernel parity tests and the custom backward."""
     bw = q.shape[0]
     scale = q.shape[-1] ** -0.5
     scores = jnp.einsum("whnd,whmd->whnm", q * scale, k,
                         preferred_element_type=jnp.float32)
     scores = scores + bias[None].astype(scores.dtype)
     if mask is not None:
+        nm = mask.shape[1]
         widx = jnp.arange(bw) % n_windows
-        scores = scores + mask[widx][:, None].astype(scores.dtype)
+        m = mask[widx][:, None]
+        scores = scores.at[:, :, :nm, :nm].add(m.astype(scores.dtype))
     col = jnp.arange(q.shape[2])
     scores = jnp.where(col[None, None, None, :] < n_valid, scores, -1e30)
-    p = jax.nn.softmax(scores, axis=-1)
+    p = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     return jnp.einsum("whnm,whmd->whnd", p, v,
                       preferred_element_type=jnp.float32).astype(q.dtype)

@@ -175,7 +175,13 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
-                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 mask: Optional[jnp.ndarray] = None,
+                 region_ids: Optional[np.ndarray] = None) -> jnp.ndarray:
+        """`mask`: dense (nW, N, N) additive mask (XLA path / external
+        callers). `region_ids`: the STATIC (nW, N) per-token shift-region
+        table (window_region_ids) — the fused kernel consumes it compactly;
+        the XLA path expands it to the dense mask on device. Pass one or
+        the other."""
         b, n, c = x.shape
         h = self.num_heads
         head_dim = c // h
@@ -188,34 +194,48 @@ class WindowAttention(nn.Module):
 
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
         rel_bias = bias_table[jnp.asarray(rpi.reshape(-1))]
         rel_bias = rel_bias.reshape(n, n, h).transpose(2, 0, 1)
 
-        if _pallas_attention_enabled():
+        # the fused kernel needs the compact region-id table for shifted
+        # windows; an externally supplied dense mask routes to the XLA path.
+        # In auto mode tiny window batches (stage 4: bw=8, unshifted) are
+        # grid-launch bound and measure ~0.9x vs XLA
+        # (benchmarks/attention_probe.py) — route them to the einsum path;
+        # an explicit use_pallas_attention() force still wins.
+        use_pallas = mask is None and (
+            USE_PALLAS_ATTENTION if USE_PALLAS_ATTENTION is not None
+            else _pallas_attention_enabled() and b * h >= 256
+        )
+        if use_pallas:
             from diff_unet_tpu.ops.pallas_attention import (
-                fused_window_attention,
+                fused_window_attention_t,
             )
             n_pad = -(-n // 128) * 128
-            pad = [(0, 0), (0, 0), (0, n_pad - n), (0, 0)]
-            qp = jnp.pad(q, pad)
-            kp = jnp.pad(k, pad)
-            vp = jnp.pad(v, pad)
+            # ONE relayout into the kernel-native (3, BW, H, Dh, N) layout
+            # (tokens to lanes) with the 128-pad fused into it
+            qkvt = jnp.transpose(
+                qkv.reshape(b, n, 3, h, head_dim), (2, 0, 3, 4, 1))
+            qkvt = jnp.pad(qkvt, [(0, 0)] * 4 + [(0, n_pad - n)])
             bias_p = jnp.pad(
                 rel_bias, [(0, 0), (0, n_pad - n), (0, n_pad - n)]
             )
-            mask_p = None
-            nw = 1
-            if mask is not None:
-                nw = mask.shape[0]
-                mask_p = jnp.pad(
-                    mask, [(0, 0), (0, n_pad - n), (0, n_pad - n)]
-                )
-            out = fused_window_attention(
-                qp, kp, vp, bias_p, n, mask_p, n_windows=nw
-            )[:, :, :n, :]
+            nw = 1 if region_ids is None else region_ids.shape[0]
+            out_t = fused_window_attention_t(
+                qkvt[0], qkvt[1], qkvt[2], bias_p, n, region_ids,
+                n_windows=nw,
+            )
+            # ONE relayout back: (BW, H, Dh, N) -> (BW, N, H*Dh)
+            out = jnp.transpose(out_t[..., :n], (0, 3, 1, 2))
+            out = out.reshape(b, n, c)
+            return nn.Dense(c, dtype=self.dtype, name="proj")(out)
         else:
+            qkv = qkv.reshape(b, n, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            if mask is None and region_ids is not None:
+                ids = jnp.asarray(region_ids)
+                mask = jnp.where(ids[:, None, :] != ids[:, :, None],
+                                 -100.0, 0.0)
             attn = jnp.einsum(
                 "bhnd,bhmd->bhnm", q * (head_dim ** -0.5), k,
                 preferred_element_type=jnp.float32,
@@ -279,9 +299,11 @@ class SwinTransformerBlock(nn.Module):
 
         if any(s > 0 for s in ss):
             x = jnp.roll(x, shift=tuple(-s for s in ss), axis=(1, 2, 3))
-            mask = compute_attn_mask((dp, hp, wp), ws, ss)
+            # static numpy (nW, N) region-id table; WindowAttention expands
+            # it to the dense mask only on the XLA path
+            region_ids = window_region_ids((dp, hp, wp), ws, ss)
         else:
-            mask = None
+            region_ids = None
         windows = window_partition(x, ws)
         # the bias table/index are sized by the UNCLAMPED window (reference
         # builds them in __init__ for window 7^3 and slices [:n, :n] in
@@ -290,7 +312,7 @@ class SwinTransformerBlock(nn.Module):
         attn = WindowAttention(self.dim, self.num_heads,
                                tuple(self.window_size),
                                self.qkv_bias, dtype=self.dtype,
-                               name="attn")(windows, mask)
+                               name="attn")(windows, region_ids=region_ids)
         x = window_reverse(attn, ws, (b, dp, hp, wp))
         if any(s > 0 for s in ss):
             x = jnp.roll(x, shift=tuple(ss), axis=(1, 2, 3))
