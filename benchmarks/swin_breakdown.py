@@ -36,34 +36,38 @@ C = 15
 DT = jnp.bfloat16
 
 
-def chain_time(fn, args, n=8, reps=2):
-    """Mean seconds per fn(*args) inside a fori chain (host-read barrier)."""
+def chain_time(fn, args, consts=(), n=8, reps=2):
+    """Mean seconds per fn(*args, *consts) inside a fori chain (host-read
+    barrier). `consts` (e.g. param trees) are REAL jit parameters: a
+    closed-over Swin param tree baked into the HLO as constants exceeds the
+    axon relay's compile-request size limit (HTTP 413)."""
 
     @jax.jit
-    def run(c0):
+    def run(c0, args, consts):
         def body(i, c):
             perturbed = jax.tree_util.tree_map(
                 lambda a: a + c.astype(a.dtype) * 0
                 if jnp.issubdtype(a.dtype, jnp.floating) else a,
                 args,
             )
-            out = fn(*perturbed)
+            out = fn(*perturbed, *consts)
             return c + jnp.mean(out.astype(jnp.float32))
 
         return jax.lax.fori_loop(0, n, body, c0)
 
-    _ = float(run(jnp.float32(0)))        # compile + warm
+    _ = float(run(jnp.float32(0), args, consts))   # compile + warm
     best = float("inf")
     for _i in range(reps):
         t0 = time.perf_counter()
-        _ = float(run(jnp.float32(0)))
+        _ = float(run(jnp.float32(0), args, consts))
         best = min(best, (time.perf_counter() - t0) / n)
     return best
 
 
 def timed(name, module, *args):
     params = module.init(jax.random.key(0), *args)
-    dt = chain_time(lambda *a: module.apply(params, *a), args)
+    dt = chain_time(lambda *a: module.apply(a[-1], *a[:-1]), args,
+                    consts=(params,))
     print(f"{name:34s} {dt * 1e3:8.2f} ms", flush=True)
     return dt
 
@@ -92,9 +96,9 @@ def main():
         emb = jax.jit(
             lambda p, im: model.apply(p, im, method="embed"))(params, image)
         dt_full = chain_time(
-            lambda im, x: model.apply(params, x, t, emb, im,
-                                      method="denoise_with_embeddings"),
-            (image, xt))
+            lambda im, x, p, e: model.apply(p, x, t, e, im,
+                                            method="denoise_with_embeddings"),
+            (image, xt), consts=(params, emb))
         print(f"{'denoise (loop body, full)':34s} {dt_full * 1e3:8.2f} ms",
               flush=True)
 
@@ -105,7 +109,8 @@ def main():
                                time_conditioned=True, dtype=DT)
         sp = swin.init(jax.random.key(0), x16, temb)
         dt_swin = chain_time(
-            lambda x, tb: swin.apply(sp, x, tb)[4], (x16, temb))
+            lambda x, tb, p: swin.apply(p, x, tb)[4], (x16, temb),
+            consts=(sp,))
         print(f"{'swinViT (5 stages)':34s} {dt_swin * 1e3:8.2f} ms",
               flush=True)
 
