@@ -10,7 +10,11 @@ Completion is forced with host reads (axon relay's block_until_ready
 returns early).
 """
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
@@ -106,12 +110,19 @@ def bench_whole_volume(vol_shape=(96, 192, 192)):
 
 
 if __name__ == "__main__":
-    bench_ddim(DiffUNet(out_channels=C, dtype=jnp.bfloat16, pack=2), 16,
-               tag="diff_unet")
-    bench_train_step()
-    bench_whole_volume()
-    # pack-2 full-res conv blocks: the BASELINE.md r3 36.3 steps/s config
-    bench_ddim(
-        DiffSwinUNETR(out_channels=C, image_size=(96, 96, 96), pack=2,
-                      dtype=jnp.bfloat16), 8, tag="diff_swin_unetr",
-    )
+    # select benches by flag; default = all
+    which = {a for a in sys.argv[1:] if a.startswith("--")} or {
+        "--unet", "--train", "--volume", "--swin"}
+    if "--unet" in which:
+        bench_ddim(DiffUNet(out_channels=C, dtype=jnp.bfloat16, pack=2), 16,
+                   tag="diff_unet")
+    if "--train" in which:
+        bench_train_step()
+    if "--volume" in which:
+        bench_whole_volume()
+    if "--swin" in which:
+        # pack-2 full-res conv blocks: BASELINE.md r3 36.3 steps/s config
+        bench_ddim(
+            DiffSwinUNETR(out_channels=C, image_size=(96, 96, 96), pack=2,
+                          dtype=jnp.bfloat16), 8, tag="diff_swin_unetr",
+        )

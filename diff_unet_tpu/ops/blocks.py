@@ -96,6 +96,36 @@ class NormParams(nn.Module):
         )
 
 
+class DenseParams(nn.Module):
+    """Raw Dense parameters with nn.Dense's names, shapes and initializers —
+    used by transposed-layout execution paths (ops/swin.py) so the param
+    tree stays identical to the float modules (checkpoints interchangeable)."""
+    features: int
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_features, self.features))
+        b = (self.param("bias", nn.initializers.zeros, (self.features,))
+             if self.use_bias else None)
+        return k, b
+
+
+class LayerNormParams(nn.Module):
+    """Raw LayerNorm affine parameters with nn.LayerNorm's names and
+    initializers — used by transposed-layout execution paths."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.features,)),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
+
+
 def timestep_embedding(t: jnp.ndarray, dim: int = TEMB_DIM) -> jnp.ndarray:
     """Sinusoidal timestep embedding (reference models/diffusion/utils.py:6-24).
 

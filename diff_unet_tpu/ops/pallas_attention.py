@@ -49,7 +49,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attn_body(q_ref, k_ref, v_ref, bias_ref, enc_ref, o_ref):
+def _attn_body(q_ref, k_ref, v_ref, bias_ref, enc_ref, o_ref,
+               q_scale: float = 1.0):
     """q/k/v/o refs are (Dh, N): tokens in the lane dimension (128-aligned),
     head_dim in sublanes — the layout Mosaic tiling requires for Dh < 128.
     Matmuls run in the ref dtype (bf16 in production) with f32 accumulation;
@@ -61,6 +62,8 @@ def _attn_body(q_ref, k_ref, v_ref, bias_ref, enc_ref, o_ref):
     +100*same is exactly the reference's -100*different. For K <= 128 the
     MXU pass latency is independent of K, so the masking costs nothing."""
     q = q_ref[:]
+    if q_scale != 1.0:
+        q = q * jnp.asarray(q_scale, q.dtype)
     k = k_ref[:]
     v = v_ref[:]
     if enc_ref is not None:
@@ -204,6 +207,114 @@ def fused_window_attention_t(
 
     attn.defvjp(fwd, bwd)
     return attn(qt, kt, vt, bias)
+
+
+def _pallas_forward_qkv(qkvt, bias, n_valid, region_ids, n_windows):
+    """Fused-qkv core: qkvt is ONE (BW, 3, H, Dh, N) array (the free reshape
+    of the transposed-layout qkv projection, ops/swin.py) — q/k/v are
+    sliced by three BlockSpec index maps over the same operand, so no
+    HBM-level split/transpose ever materialises. The q scale rides the
+    kernel body instead of a separate HBM pass over q."""
+    bw, three, h, dh, n = qkvt.shape
+    assert three == 3, qkvt.shape
+    assert n % 128 == 0, "caller must pad tokens to a multiple of 128"
+    scale = dh ** -0.5
+
+    bias = bias.astype(jnp.float32)
+    if n_valid < n:
+        colmask = np.zeros((1, 1, n), np.float32)
+        colmask[..., n_valid:] = -1e30
+        bias = bias + colmask
+
+    grid = (h, bw)
+
+    def qkv_spec(sel):
+        return pl.BlockSpec((1, 1, 1, dh, n),
+                            lambda j, i, s=sel: (i, s, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    bias_spec = pl.BlockSpec((1, n, n), lambda j, i: (j, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, dh, n), lambda j, i: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    if region_ids is not None:
+        enc = jnp.asarray(_region_onehot(region_ids, n), dtype=qkvt.dtype)
+        enc_spec = pl.BlockSpec(
+            (1, enc.shape[1], n), lambda j, i: (i % n_windows, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+        def kernel(q_ref, k_ref, v_ref, b_ref, enc_ref, o_ref):
+            _attn_body(q_ref.at[0, 0, 0], k_ref.at[0, 0, 0],
+                       v_ref.at[0, 0, 0], b_ref.at[0], enc_ref.at[0],
+                       o_ref.at[0, 0], q_scale=scale)
+
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((bw, h, dh, n), qkvt.dtype),
+            grid=grid,
+            in_specs=[qkv_spec(0), qkv_spec(1), qkv_spec(2), bias_spec,
+                      enc_spec],
+            out_specs=out_spec,
+        )(qkvt, qkvt, qkvt, bias, enc)
+
+    def kernel(q_ref, k_ref, v_ref, b_ref, o_ref):
+        _attn_body(q_ref.at[0, 0, 0], k_ref.at[0, 0, 0], v_ref.at[0, 0, 0],
+                   b_ref.at[0], None, o_ref.at[0, 0], q_scale=scale)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bw, h, dh, n), qkvt.dtype),
+        grid=grid,
+        in_specs=[qkv_spec(0), qkv_spec(1), qkv_spec(2), bias_spec],
+        out_specs=out_spec,
+    )(qkvt, qkvt, qkvt, bias)
+
+
+def fused_window_attention_qkv(
+    qkvt: jnp.ndarray,              # (BW, 3, H, Dh, N) — fused qkv, tokens in lanes
+    bias: jnp.ndarray,              # (H, N, N) rel-pos bias, window-shared
+    n_valid: int,
+    region_ids: Optional[np.ndarray] = None,  # STATIC (nW, n_valid) ids
+    n_windows: int = 1,
+) -> jnp.ndarray:
+    """Differentiable fused window attention over a FUSED qkv array — the
+    transposed-layout entry point: (BW, 3C, N) reshapes to (BW, 3, H, Dh, N)
+    for free, and the kernel slices q/k/v via index maps (zero relayout).
+    Output is (BW, H, Dh, N). Backward recomputes through the jnp reference
+    path (XLA backward)."""
+    if region_ids is not None:
+        region_ids = np.asarray(region_ids)
+        assert region_ids.shape[0] == n_windows
+
+    @jax.custom_vjp
+    def attn(qkvt, bias):
+        return _pallas_forward_qkv(qkvt, bias, n_valid, region_ids,
+                                   n_windows)
+
+    def fwd(qkvt, bias):
+        return attn(qkvt, bias), (qkvt, bias)
+
+    def bwd(res, g):
+        qkvt, bias = res
+
+        def ref_t(qkvt_, b_):
+            q = qkvt_[:, 0].transpose(0, 1, 3, 2)
+            k = qkvt_[:, 1].transpose(0, 1, 3, 2)
+            v = qkvt_[:, 2].transpose(0, 1, 3, 2)
+            out = reference_window_attention(
+                q, k, v, b_, n_valid,
+                _dense_mask(region_ids) if region_ids is not None else None,
+                n_windows=n_windows,
+            )
+            return out.transpose(0, 1, 3, 2)
+
+        _, vjp = jax.vjp(ref_t, qkvt, bias)
+        return vjp(g)
+
+    attn.defvjp(fwd, bwd)
+    return attn(qkvt, bias)
 
 
 def fused_window_attention(

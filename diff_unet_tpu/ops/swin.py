@@ -70,6 +70,66 @@ def window_reverse(windows: jnp.ndarray, ws: Sequence[int],
     return x.reshape(b, d, h, w, -1)
 
 
+def window_partition_t(x: jnp.ndarray, ws: Sequence[int],
+                       n_pad: int) -> jnp.ndarray:
+    """(B, D, H, W, C) -> (B*nW, C, Np): the TRANSPOSED window layout with
+    tokens in the LANE dimension, padded to Np (a multiple of 128).
+
+    Why: a (.., N, C) window tensor with C=48 pads 48 -> 128 lanes (2.67x
+    bytes on every elementwise/norm/matmul pass — measured 22-112 GB/s on
+    the stage-1 block segments, benchmarks/swin_block_probe.py); in
+    (.., C, N=343->384) layout the pad tax is 1.12x and the fused Pallas
+    attention kernel (ops/pallas_attention.py) is native in it, so the
+    qkv/out relayouts vanish."""
+    b, d, h, w, c = x.shape
+    n = ws[0] * ws[1] * ws[2]
+    x = x.reshape(b, d // ws[0], ws[0], h // ws[1], ws[1], w // ws[2],
+                  ws[2], c)
+    x = x.transpose(0, 1, 3, 5, 7, 2, 4, 6)
+    x = x.reshape(-1, c, n)
+    if n_pad > n:
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, n_pad - n)])
+    return x
+
+
+def window_reverse_t(wt: jnp.ndarray, ws: Sequence[int],
+                     dims: Sequence[int]) -> jnp.ndarray:
+    """Inverse of window_partition_t: (B*nW, C, Np) -> (B, D, H, W, C)."""
+    b, d, h, w = dims
+    n = ws[0] * ws[1] * ws[2]
+    c = wt.shape[1]
+    x = wt[..., :n].reshape(b, d // ws[0], h // ws[1], w // ws[2], c,
+                            ws[0], ws[1], ws[2])
+    x = x.transpose(0, 1, 5, 2, 6, 3, 7, 4)
+    return x.reshape(b, d, h, w, c)
+
+
+@functools.lru_cache(maxsize=None)
+def window_valid_mask(dims_padded: Tuple[int, ...],
+                      dims_valid: Tuple[int, ...], ws: Tuple[int, ...],
+                      ss: Tuple[int, ...], n_pad: int):
+    """STATIC (nW, Np) float32 {0,1} token-validity table, or None when
+    every token is real (no spatial padding).
+
+    The transposed block path normalizes BEFORE padding-aware windowing, so
+    pad tokens carry LayerNorm bias instead of the zeros the reference
+    feeds qkv (reference normalizes the unpadded tensor, then zero-pads);
+    multiplying by this mask after norm1 restores exact parity."""
+    if tuple(dims_padded) == tuple(dims_valid):
+        return None
+    d, h, w = dims_padded
+    vol = np.zeros((1, d, h, w, 1), np.float32)
+    vol[:, :dims_valid[0], :dims_valid[1], :dims_valid[2]] = 1.0
+    vol = np.roll(vol, shift=tuple(-s for s in ss), axis=(1, 2, 3))
+    m = vol.reshape(1, d // ws[0], ws[0], h // ws[1], ws[1],
+                    w // ws[2], ws[2], 1)
+    m = m.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    m = m.reshape(-1, ws[0] * ws[1] * ws[2])                 # (nW, N)
+    if n_pad > m.shape[1]:
+        m = np.pad(m, [(0, 0), (0, n_pad - m.shape[1])])
+    return m.astype(np.float32)
+
+
 @functools.lru_cache(maxsize=None)
 def window_region_ids(dims: Tuple[int, ...], ws: Tuple[int, ...],
                       ss: Tuple[int, ...]) -> np.ndarray:
@@ -160,6 +220,63 @@ class use_pallas_attention:
         USE_PALLAS_ATTENTION = self.prev
 
 
+# trace-time toggle for the TRANSPOSED (BW, C, N) block execution layout.
+# True/False force it, None = auto: enabled on TPU for stages whose channel
+# count pays lane-padding tax (C < 256; stage 4's C=384 = 3x128 is already
+# lane-exact and its N=216 -> 256 pad would make things WORSE).
+USE_TRANSPOSED_BLOCKS = None
+
+
+def _transposed_enabled(c: int) -> bool:
+    if USE_TRANSPOSED_BLOCKS is not None:
+        return USE_TRANSPOSED_BLOCKS
+    if c >= 256:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+class use_transposed_blocks:
+    """Context manager forcing the transposed Swin block layout on/off."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+
+    def __enter__(self):
+        global USE_TRANSPOSED_BLOCKS
+        self.prev = USE_TRANSPOSED_BLOCKS
+        USE_TRANSPOSED_BLOCKS = self.enabled
+
+    def __exit__(self, *exc):
+        global USE_TRANSPOSED_BLOCKS
+        USE_TRANSPOSED_BLOCKS = self.prev
+
+
+def _layer_norm_t(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                  eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm over the SUBLANE (channel, axis -2) dim of (BW, C, Np):
+    f32 statistics like flax nn.LayerNorm."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-2, keepdims=True)
+    var = jnp.var(xf, axis=-2, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale[:, None] + bias[:, None]).astype(x.dtype)
+
+
+def _dense_t(x: jnp.ndarray, kernel: jnp.ndarray,
+             bias: Optional[jnp.ndarray], dtype) -> jnp.ndarray:
+    """nn.Dense over the SUBLANE dim: (BW, C, Np) @ (C, D) -> (BW, D, Np)."""
+    k = kernel.astype(dtype) if dtype is not None else kernel
+    xd = x.astype(dtype) if dtype is not None else x
+    y = jnp.einsum("wcn,cd->wdn", xd, k)
+    if bias is not None:
+        b = bias.astype(y.dtype) if dtype is not None else bias
+        y = y + b[:, None]
+    return y
+
+
 class WindowAttention(nn.Module):
     """Windowed MHSA with learned relative position bias.
 
@@ -176,12 +293,70 @@ class WindowAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  mask: Optional[jnp.ndarray] = None,
-                 region_ids: Optional[np.ndarray] = None) -> jnp.ndarray:
+                 region_ids: Optional[np.ndarray] = None,
+                 transposed: bool = False,
+                 n_valid: Optional[int] = None) -> jnp.ndarray:
         """`mask`: dense (nW, N, N) additive mask (XLA path / external
         callers). `region_ids`: the STATIC (nW, N) per-token shift-region
         table (window_region_ids) — the fused kernel consumes it compactly;
         the XLA path expands it to the dense mask on device. Pass one or
-        the other."""
+        the other.
+
+        `transposed`: x is (BW, C, Np) — tokens in lanes, Np a multiple of
+        128, `n_valid` real tokens — and the result keeps that layout. The
+        qkv/proj projections contract the sublane dim and the fused kernel
+        consumes the (BW, 3, H, Dh, Np) reshape directly (zero relayouts).
+        Param tree identical to the standard path (DenseParams mirrors
+        nn.Dense)."""
+        if transposed:
+            from diff_unet_tpu.ops.blocks import DenseParams
+            from diff_unet_tpu.ops.pallas_attention import (
+                fused_window_attention_qkv,
+                reference_window_attention,
+            )
+
+            bw, c, npad = x.shape
+            h = self.num_heads
+            head_dim = c // h
+            n = n_valid if n_valid is not None else npad
+            table_size = int(np.prod([2 * s - 1 for s in self.window_size]))
+            bias_table = self.param(
+                "relative_position_bias_table",
+                nn.initializers.truncated_normal(0.02), (table_size, h),
+            )
+            rpi = relative_position_index(tuple(self.window_size))[:n, :n]
+            rel_bias = bias_table[jnp.asarray(rpi.reshape(-1))]
+            rel_bias = rel_bias.reshape(n, n, h).transpose(2, 0, 1)
+            bias_p = jnp.pad(
+                rel_bias, [(0, 0), (0, npad - n), (0, npad - n)])
+
+            k_qkv, b_qkv = DenseParams(3 * c, c, use_bias=self.qkv_bias,
+                                       name="qkv")()
+            k_proj, b_proj = DenseParams(c, c, name="proj")()
+            nw = 1 if region_ids is None else region_ids.shape[0]
+
+            qkvt = _dense_t(x, k_qkv, b_qkv, self.dtype)
+            qkvt = qkvt.reshape(bw, 3, h, head_dim, npad)   # free reshape
+            use_pallas = (
+                USE_PALLAS_ATTENTION if USE_PALLAS_ATTENTION is not None
+                else _pallas_attention_enabled() and bw * h >= 256
+            )
+            if use_pallas:
+                out_t = fused_window_attention_qkv(
+                    qkvt, bias_p, n, region_ids, n_windows=nw)
+            else:
+                q = qkvt[:, 0].transpose(0, 1, 3, 2)        # (bw,h,Np,dh)
+                k = qkvt[:, 1].transpose(0, 1, 3, 2)
+                v = qkvt[:, 2].transpose(0, 1, 3, 2)
+                from diff_unet_tpu.ops.pallas_attention import _dense_mask
+                m = (_dense_mask(region_ids)
+                     if region_ids is not None else None)
+                out = reference_window_attention(q, k, v, bias_p, n, m,
+                                                 n_windows=nw)
+                out_t = out.transpose(0, 1, 3, 2)
+            out_t = out_t.reshape(bw, c, npad)              # free reshape
+            return _dense_t(out_t, k_proj, b_proj, self.dtype)
+
         b, n, c = x.shape
         h = self.num_heads
         head_dim = c // h
@@ -261,9 +436,16 @@ class SwinMlp(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
-        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
-                     name="fc1")(x)
+    def __call__(self, x, transposed: bool = False):
+        hidden = int(self.dim * self.mlp_ratio)
+        if transposed:
+            from diff_unet_tpu.ops.blocks import DenseParams
+            k1, b1 = DenseParams(hidden, self.dim, name="fc1")()
+            k2, b2 = DenseParams(self.dim, hidden, name="fc2")()
+            h = _dense_t(x, k1, b1, self.dtype)
+            h = nn.gelu(h, approximate=False)
+            return _dense_t(h, k2, b2, self.dtype)
+        h = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
         # exact (erf) GELU: the reference uses torch nn.GELU via MONAI
         # MLPBlock (transformer.py:338,378), whose default is erf, not the
         # tanh approximation flax defaults to.
@@ -288,6 +470,8 @@ class SwinTransformerBlock(nn.Module):
         b, d, h, w, c = x.shape
         ws, ss = get_window_size((d, h, w), self.window_size,
                                  self.shift_size)
+        if _transposed_enabled(c):
+            return self._forward_transposed(x, ws, ss)
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
 
@@ -322,6 +506,59 @@ class SwinTransformerBlock(nn.Module):
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         return x + SwinMlp(self.dim, self.mlp_ratio, dtype=self.dtype,
                            name="mlp")(y)
+
+    def _forward_transposed(self, x: jnp.ndarray, ws, ss) -> jnp.ndarray:
+        """The whole block in the transposed window layout (BW, C, Np):
+        ONE relayout in (partition_t), one out (reverse_t); LayerNorm /
+        qkv / proj / MLP / residuals all run lane-packed and the fused
+        attention kernel consumes its native layout with zero relayouts.
+        Numerics identical to the standard path on real tokens (pad tokens
+        are masked at the attention input and cropped at the exit); param
+        tree identical (DenseParams/LayerNormParams mirror nn.Dense/
+        nn.LayerNorm)."""
+        from diff_unet_tpu.ops.blocks import LayerNormParams
+
+        b, d, h, w, c = x.shape
+        pad = [(0, 0)] + [
+            (0, (ws[i] - (d, h, w)[i] % ws[i]) % ws[i]) for i in range(3)
+        ] + [(0, 0)]
+        x = jnp.pad(x, pad)
+        dp, hp, wp = x.shape[1:4]
+        if any(s > 0 for s in ss):
+            x = jnp.roll(x, shift=tuple(-s for s in ss), axis=(1, 2, 3))
+            region_ids = window_region_ids((dp, hp, wp), tuple(ws),
+                                           tuple(ss))
+        else:
+            region_ids = None
+
+        n = ws[0] * ws[1] * ws[2]
+        npad = -(-n // 128) * 128
+        wt = window_partition_t(x, ws, npad)            # residual shortcut
+        s1, b1 = LayerNormParams(c, name="norm1")()
+        h1 = _layer_norm_t(wt, s1, b1)
+        vm = window_valid_mask((dp, hp, wp), (d, h, w), tuple(ws),
+                               tuple(ss), npad)
+        if vm is not None:
+            nw = vm.shape[0]
+            h1 = (h1.reshape(b, nw, c, npad)
+                  * jnp.asarray(vm)[None, :, None, :].astype(h1.dtype))
+            h1 = h1.reshape(-1, c, npad)
+        attn = WindowAttention(self.dim, self.num_heads,
+                               tuple(self.window_size),
+                               self.qkv_bias, dtype=self.dtype,
+                               name="attn")(h1, region_ids=region_ids,
+                                            transposed=True, n_valid=n)
+        wt = wt + attn
+        s2, b2 = LayerNormParams(c, name="norm2")()
+        y = _layer_norm_t(wt, s2, b2)
+        y = SwinMlp(self.dim, self.mlp_ratio, dtype=self.dtype,
+                    name="mlp")(y, transposed=True)
+        wt = wt + y
+
+        x = window_reverse_t(wt, ws, (b, dp, hp, wp))
+        if any(s > 0 for s in ss):
+            x = jnp.roll(x, shift=tuple(ss), axis=(1, 2, 3))
+        return x[:, :d, :h, :w, :]
 
 
 class PatchMerging(nn.Module):
