@@ -466,7 +466,16 @@ class SwinTransformerBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 window_ctx: Optional[dict] = None) -> jnp.ndarray:
+        """Standard entry: x is (B, D, H, W, C) spatial. With `window_ctx`
+        (the window-resident stage path, BasicLayer), x is the transposed
+        window tensor (BW, C, Np) already in this block's shift layout and
+        the ctx carries the static geometry:
+        {region_ids, vm, n, b} — the block runs only its body and returns
+        the window tensor."""
+        if window_ctx is not None:
+            return self._window_body(x, **window_ctx)
         b, d, h, w, c = x.shape
         ws, ss = get_window_size((d, h, w), self.window_size,
                                  self.shift_size)
@@ -533,11 +542,25 @@ class SwinTransformerBlock(nn.Module):
 
         n = ws[0] * ws[1] * ws[2]
         npad = -(-n // 128) * 128
-        wt = window_partition_t(x, ws, npad)            # residual shortcut
-        s1, b1 = LayerNormParams(c, name="norm1")()
-        h1 = _layer_norm_t(wt, s1, b1)
+        wt = window_partition_t(x, ws, npad)
         vm = window_valid_mask((dp, hp, wp), (d, h, w), tuple(ws),
                                tuple(ss), npad)
+        wt = self._window_body(wt, region_ids, vm, n, b)
+
+        x = window_reverse_t(wt, ws, (b, dp, hp, wp))
+        if any(s > 0 for s in ss):
+            x = jnp.roll(x, shift=tuple(ss), axis=(1, 2, 3))
+        return x[:, :d, :h, :w, :]
+
+    def _window_body(self, wt: jnp.ndarray, region_ids, vm, n: int,
+                     b: int) -> jnp.ndarray:
+        """LN1 -> mask -> attention -> +res -> LN2 -> MLP -> +res, entirely
+        in the transposed window layout (BW, C, Np)."""
+        from diff_unet_tpu.ops.blocks import LayerNormParams
+
+        bw, c, npad = wt.shape
+        s1, b1 = LayerNormParams(c, name="norm1")()
+        h1 = _layer_norm_t(wt, s1, b1)
         if vm is not None:
             nw = vm.shape[0]
             h1 = (h1.reshape(b, nw, c, npad)
@@ -553,12 +576,7 @@ class SwinTransformerBlock(nn.Module):
         y = _layer_norm_t(wt, s2, b2)
         y = SwinMlp(self.dim, self.mlp_ratio, dtype=self.dtype,
                     name="mlp")(y, transposed=True)
-        wt = wt + y
-
-        x = window_reverse_t(wt, ws, (b, dp, hp, wp))
-        if any(s > 0 for s in ss):
-            x = jnp.roll(x, shift=tuple(ss), axis=(1, 2, 3))
-        return x[:, :d, :h, :w, :]
+        return wt + y
 
 
 class PatchMerging(nn.Module):
@@ -638,17 +656,65 @@ class BasicLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         shift = tuple(s // 2 for s in self.window_size)
-        for i in range(self.depth):
-            x = SwinTransformerBlock(
-                dim=self.dim, num_heads=self.num_heads,
-                window_size=tuple(self.window_size),
-                shift_size=(0, 0, 0) if i % 2 == 0 else shift,
-                dtype=self.dtype, name=f"blocks_{i}",
-            )(x)
+        if _transposed_enabled(x.shape[-1]):
+            x = self._forward_window_resident(x, shift)
+        else:
+            for i in range(self.depth):
+                x = SwinTransformerBlock(
+                    dim=self.dim, num_heads=self.num_heads,
+                    window_size=tuple(self.window_size),
+                    shift_size=(0, 0, 0) if i % 2 == 0 else shift,
+                    dtype=self.dtype, name=f"blocks_{i}",
+                )(x)
         if self.downsample:
             x = PatchMerging(self.dim, v2=self.merging_v2, dtype=self.dtype,
                              name="downsample")(x)
         return x
+
+    def _forward_window_resident(self, x: jnp.ndarray,
+                                 shift) -> jnp.ndarray:
+        """The whole stage in the transposed window layout: partition ONCE,
+        run every block's body on the window tensor, hop between shift
+        layouts with the MXU permutation kernel (ops/pallas_shift.py — the
+        XLA alternative re-materialises the spatial tensor twice per hop),
+        reverse ONCE at the end."""
+        from diff_unet_tpu.ops.pallas_shift import shift_windows_t
+
+        b, d, h, w, c = x.shape
+        ws, ss = get_window_size((d, h, w), self.window_size, shift)
+        pad = [(0, 0)] + [
+            (0, (ws[i] - (d, h, w)[i] % ws[i]) % ws[i]) for i in range(3)
+        ] + [(0, 0)]
+        x = jnp.pad(x, pad)
+        dp, hp, wp = x.shape[1:4]
+        grid_dims = (dp // ws[0], hp // ws[1], wp // ws[2])
+        n = ws[0] * ws[1] * ws[2]
+        npad = -(-n // 128) * 128
+
+        wt = window_partition_t(x, ws, npad)
+        cur = (0, 0, 0)
+        for i in range(self.depth):
+            blk = (0, 0, 0) if i % 2 == 0 else tuple(ss)
+            if blk != cur:
+                delta = tuple(bi - ci for bi, ci in zip(blk, cur))
+                wt = shift_windows_t(wt, tuple(ws), delta, grid_dims, b,
+                                     use_pallas=_pallas_attention_enabled())
+                cur = blk
+            region_ids = (window_region_ids((dp, hp, wp), tuple(ws), blk)
+                          if any(s > 0 for s in blk) else None)
+            vm = window_valid_mask((dp, hp, wp), (d, h, w), tuple(ws),
+                                   blk, npad)
+            wt = SwinTransformerBlock(
+                dim=self.dim, num_heads=self.num_heads,
+                window_size=tuple(self.window_size),
+                shift_size=blk, dtype=self.dtype, name=f"blocks_{i}",
+            )(wt, window_ctx={"region_ids": region_ids, "vm": vm,
+                              "n": n, "b": b})
+
+        x = window_reverse_t(wt, ws, (b, dp, hp, wp))
+        if any(s > 0 for s in cur):
+            x = jnp.roll(x, shift=tuple(cur), axis=(1, 2, 3))
+        return x[:, :d, :h, :w, :]
 
 
 def _stage_layer_norm(x: jnp.ndarray) -> jnp.ndarray:

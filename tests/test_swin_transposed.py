@@ -105,6 +105,68 @@ def test_swin_transformer_transposed_matches_standard():
                                    rtol=3e-5, atol=3e-5)
 
 
+def test_shift_kernel_matches_reference_interpret():
+    """MXU-permutation shift == reverse->roll->re-partition, fwd and bwd."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from diff_unet_tpu.ops.pallas_shift import (
+        shift_windows_t,
+        shift_windows_t_reference,
+    )
+
+    ws, ss, grid, b = (4, 4, 4), (2, 2, 2), (3, 2, 2), 2
+    bw = b * int(np.prod(grid))
+    wt = jax.random.normal(jax.random.key(0), (bw, 16, 128), jnp.float32)
+    # reference zero-pads nothing (tokens 64 -> 128 pad must be zero for
+    # parity: the kernel's one-hot columns emit 0 there)
+    wt = wt.at[..., 64:].set(0.0)
+
+    want = shift_windows_t_reference(wt, ws, ss, grid, b)
+    with pltpu.force_tpu_interpret_mode():
+        got = shift_windows_t(wt, ws, ss, grid, b, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+    # backward: permutations are orthogonal — vjp == inverse shift
+    g_ref = jax.grad(lambda w_: jnp.sum(
+        shift_windows_t_reference(w_, ws, ss, grid, b) ** 2))(wt)
+    with pltpu.force_tpu_interpret_mode():
+        g_ker = jax.grad(lambda w_: jnp.sum(
+            shift_windows_t(w_, ws, ss, grid, b, use_pallas=True) ** 2
+        ))(wt)
+    np.testing.assert_allclose(np.asarray(g_ker)[..., :64],
+                               np.asarray(g_ref)[..., :64],
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_basic_layer_window_resident_matches_standard():
+    """Depth-2 stage (no-shift + shift blocks) through the window-resident
+    path == per-block standard path, incl. spatial padding."""
+    from diff_unet_tpu.ops.swin import BasicLayer
+
+    layer = BasicLayer(dim=16, depth=2, num_heads=2, window_size=(4, 4, 4),
+                       downsample=True)
+    x = _x((2, 10, 10, 10, 16), seed=5)
+    with use_transposed_blocks(False):
+        params = layer.init(jax.random.key(1), x)
+        want = layer.apply(params, x)
+    with use_transposed_blocks(True):
+        got = layer.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+    def loss(p, enabled):
+        with use_transposed_blocks(enabled):
+            return jnp.sum(layer.apply(p, x) ** 2)
+
+    g_std = jax.grad(loss)(params, False)
+    g_t = jax.grad(loss)(params, True)
+    jax.tree_util.tree_map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-4),
+        g_std, g_t)
+
+
 def test_fused_qkv_kernel_matches_reference_interpret():
     """The fused-qkv pallas entry (one (BW,3,H,Dh,N) operand, three index
     maps) matches the reference path, with shift region ids."""
