@@ -313,6 +313,38 @@ _SIMPLE: Dict[str, Callable] = {
 }
 
 
+# losses whose value is invariant under the lane-dense W-fold reshape
+# (B,D,H,W,C) -> (B,D,H,W/f,f*C): pure elementwise means, plus the dice
+# family whose per-(batch, class) spatial sums are recovered by an (f, C)
+# regroup of the reduced axis. ce/softmax, argmax-based and spatially
+# structured losses are NOT foldable.
+_ELEMENTWISE_FOLDABLE = frozenset({"mse", "bce", "focal"})
+_DICE_FOLDABLE = frozenset({"dice", "generalized_dice"})
+FOLDABLE = _ELEMENTWISE_FOLDABLE | _DICE_FOLDABLE
+
+
+def _folded_dice(p_sig, labels, f, c, *, generalized, smooth_nr=_SMOOTH_NR,
+                 smooth_dr=_SMOOTH_DR):
+    """dice/generalized_dice on the W-folded layout: spatial sums give
+    (B, f*C); the (f, C) regroup restores exact per-class statistics."""
+    axes = _spatial_axes(p_sig)
+    b = p_sig.shape[0]
+    inter = jnp.sum(p_sig * labels, axis=axes).reshape(b, f, c).sum(1)
+    psum = jnp.sum(p_sig, axis=axes).reshape(b, f, c).sum(1)
+    gsum = jnp.sum(labels, axis=axes).reshape(b, f, c).sum(1)
+    if generalized:
+        # identical weight conventions to generalized_dice_loss
+        w = 1.0 / jnp.square(jnp.maximum(gsum, 1e-6))
+        w = jnp.where(gsum > 0, w, 0.0)
+        w_max = jnp.max(w, axis=-1, keepdims=True)
+        w = jnp.where(gsum > 0, w, w_max)
+        numer = 2.0 * jnp.sum(w * inter, axis=-1) + smooth_nr
+        denom = jnp.sum(w * (psum + gsum), axis=-1) + smooth_dr
+        return jnp.mean(1.0 - numer / denom)
+    fdc = 1.0 - (2.0 * inter + smooth_nr) / (psum + gsum + smooth_dr)
+    return jnp.mean(fdc)
+
+
 class CompositeLoss:
     """Comma-list composite loss (reference Loss, loss.py:25-86).
 
@@ -320,22 +352,46 @@ class CompositeLoss:
     — preds are logits (N,D,H,W,C), labels one-hot float of the same shape.
     Pure and jit-compatible; distance maps for `boundary` must be supplied by
     the caller (precomputed host-side, see losses/edt.py).
-    """
+
+    `fold`: lane-dense loss epilogue. A (…, C=15) f32 tensor pads 15 -> 128
+    lanes on TPU (8.5x bytes on every elementwise pass AND its backward);
+    reshaping to (B,D,H,W/f,f*C) before the loss removes the tax — measured
+    1.64x on the full train step (benchmarks/train_probe.py, bs 2x96^3,
+    mse+bce+dice). None = auto: fold 8 on TPU when every configured loss is
+    fold-invariant (see FOLDABLE), off otherwise; the folded values equal
+    the unfolded ones (same multiset for elementwise means; exact (f, C)
+    regroup for the dice family)."""
 
     def __init__(
         self,
         losses: str,
         num_classes: int,
         combine: str = "sum",
+        fold: Optional[int] = None,
     ) -> None:
         self.num_classes = num_classes
         self.combine = combine
+        self.fold = fold
         self.names: Sequence[str] = [s.strip() for s in losses.split(",")]
         for name in self.names:
             if name not in _SIMPLE and name not in (
                 "boundary", "generalized_wasserstein_dice"
             ):
                 raise NotImplementedError(f"Loss ({name}) is not listed yet")
+
+    def _auto_fold(self, preds: jnp.ndarray) -> int:
+        if not all(n in FOLDABLE for n in self.names):
+            return 1
+        fold = self.fold
+        if fold is None:
+            try:
+                on_tpu = jax.devices()[0].platform == "tpu"
+            except Exception:  # pragma: no cover
+                on_tpu = False
+            fold = 8 if on_tpu else 1
+        if fold <= 1 or preds.ndim != 5 or preds.shape[3] % fold != 0:
+            return 1
+        return fold
 
     def __call__(
         self,
@@ -350,6 +406,21 @@ class CompositeLoss:
                 "include_background setting on the Engine (it adds/removes "
                 "the background channel before the loss)"
             )
+        f = self._auto_fold(preds)
+        if f > 1:
+            b, d, h, w, c = preds.shape
+            pf = preds.reshape(b, d, h, w // f, f * c)
+            lf = labels.reshape(b, d, h, w // f, f * c)
+            values = []
+            for name in self.names:
+                if name in _ELEMENTWISE_FOLDABLE:
+                    values.append(_SIMPLE[name](pf, lf))
+                else:  # dice family
+                    values.append(_folded_dice(
+                        jax.nn.sigmoid(pf), lf, f, c,
+                        generalized=(name == "generalized_dice")))
+            return self._combine(values)
+
         values = []
         for name in self.names:
             if name == "boundary":
@@ -366,6 +437,9 @@ class CompositeLoss:
                 )
             else:
                 values.append(_SIMPLE[name](preds, labels))
+        return self._combine(values)
+
+    def _combine(self, values) -> jnp.ndarray:
         if len(values) == 1:
             return values[0]
         stacked = jnp.stack(values)

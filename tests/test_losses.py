@@ -148,3 +148,43 @@ def test_composite_gradients_finite():
     loss = CompositeLoss("mse,bce,dice,focal,generalized_dice", C)
     grad = jax.grad(lambda p: loss(p, jnp.array(labels)))(jnp.array(preds))
     assert np.isfinite(np.asarray(grad)).all()
+
+
+@pytest.mark.parametrize("names", ["mse,bce,dice", "focal,generalized_dice",
+                                   "dice"])
+def test_folded_loss_matches_unfolded(names):
+    """The lane-dense W-fold epilogue (fold=4) computes the same scalar as
+    the standard layout — elementwise means see the same multiset, the dice
+    family's per-class sums are regrouped exactly."""
+    from diff_unet_tpu.losses.losses import CompositeLoss
+
+    key = jax.random.key(0)
+    preds = jax.random.normal(key, (2, 6, 6, 8, 5), jnp.float32)
+    lab = jax.nn.one_hot(
+        jax.random.randint(jax.random.key(1), (2, 6, 6, 8), 0, 5), 5
+    ).astype(jnp.float32)
+    want = CompositeLoss(names, 5, fold=1)(preds, lab)
+    got = CompositeLoss(names, 5, fold=4)(preds, lab)
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-6)
+
+    # gradients agree too (the fold must be transparent to training)
+    g_want = jax.grad(lambda p: CompositeLoss(names, 5, fold=1)(p, lab))(
+        preds)
+    g_got = jax.grad(lambda p: CompositeLoss(names, 5, fold=4)(p, lab))(
+        preds)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_folded_loss_falls_back_for_unfoldable():
+    """ce (softmax over the true class axis) must disable the fold."""
+    from diff_unet_tpu.losses.losses import CompositeLoss
+
+    preds = jax.random.normal(jax.random.key(0), (1, 4, 4, 8, 5),
+                              jnp.float32)
+    lab = jax.nn.one_hot(
+        jax.random.randint(jax.random.key(1), (1, 4, 4, 8), 0, 5), 5
+    ).astype(jnp.float32)
+    want = CompositeLoss("ce,dice", 5, fold=1)(preds, lab)
+    got = CompositeLoss("ce,dice", 5, fold=8)(preds, lab)  # ignored
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
