@@ -18,6 +18,7 @@ Conventions mirrored from the reference call-site (loss.py:64-75):
 """
 from __future__ import annotations
 
+import warnings
 from typing import Callable, Dict, Optional, Sequence
 
 import jax
@@ -53,6 +54,27 @@ def ce_loss(preds: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return -jnp.mean(jnp.sum(labels * logp, axis=-1))
 
 
+def _dice_from_sums(inter, denom, *, smooth_nr, smooth_dr):
+    """Per-(batch, class) sums -> mean soft-Dice score. The ONE place the
+    dice smooth/ratio conventions live: both the standard and the TPU
+    lane-folded epilogues consume it, so they cannot diverge."""
+    f = 1.0 - (2.0 * inter + smooth_nr) / (denom + smooth_dr)
+    return jnp.mean(f)
+
+
+def _generalized_dice_from_sums(inter, psum, gsum, *, smooth_nr, smooth_dr):
+    """Per-(batch, class) sums -> mean Generalized Dice score (Sudre et
+    al. weights 1/|G_c|^2, empty classes replaced by the max finite
+    weight). Shared by the standard and lane-folded epilogues."""
+    w = 1.0 / jnp.square(jnp.maximum(gsum, 1e-6))
+    w = jnp.where(gsum > 0, w, 0.0)
+    w_max = jnp.max(w, axis=-1, keepdims=True)
+    w = jnp.where(gsum > 0, w, w_max)
+    numer = 2.0 * jnp.sum(w * inter, axis=-1) + smooth_nr
+    denom = jnp.sum(w * (psum + gsum), axis=-1) + smooth_dr
+    return jnp.mean(1.0 - numer / denom)
+
+
 def dice_loss(
     preds: jnp.ndarray,
     labels: jnp.ndarray,
@@ -70,8 +92,8 @@ def dice_loss(
         denom = jnp.sum(p * p, axis=axes) + jnp.sum(labels * labels, axis=axes)
     else:
         denom = jnp.sum(p, axis=axes) + jnp.sum(labels, axis=axes)
-    f = 1.0 - (2.0 * intersection + smooth_nr) / (denom + smooth_dr)
-    return jnp.mean(f)
+    return _dice_from_sums(intersection, denom, smooth_nr=smooth_nr,
+                           smooth_dr=smooth_dr)
 
 
 def focal_loss(
@@ -119,14 +141,9 @@ def generalized_dice_loss(
     intersection = jnp.sum(p * labels, axis=axes)        # (B, C)
     ground = jnp.sum(labels, axis=axes)
     pred_sum = jnp.sum(p, axis=axes)
-    w = 1.0 / jnp.square(jnp.maximum(ground, 1e-6))
-    # replace infinite weights of empty classes by the max finite weight
-    w = jnp.where(ground > 0, w, 0.0)
-    w_max = jnp.max(w, axis=-1, keepdims=True)
-    w = jnp.where(ground > 0, w, w_max)
-    numer = 2.0 * jnp.sum(w * intersection, axis=-1) + smooth_nr
-    denom = jnp.sum(w * (pred_sum + ground), axis=-1) + smooth_dr
-    return jnp.mean(1.0 - numer / denom)
+    return _generalized_dice_from_sums(
+        intersection, pred_sum, ground, smooth_nr=smooth_nr,
+        smooth_dr=smooth_dr)
 
 
 def generalized_dice_focal_loss(preds, labels) -> jnp.ndarray:
@@ -333,16 +350,10 @@ def _folded_dice(p_sig, labels, f, c, *, generalized, smooth_nr=_SMOOTH_NR,
     psum = jnp.sum(p_sig, axis=axes).reshape(b, f, c).sum(1)
     gsum = jnp.sum(labels, axis=axes).reshape(b, f, c).sum(1)
     if generalized:
-        # identical weight conventions to generalized_dice_loss
-        w = 1.0 / jnp.square(jnp.maximum(gsum, 1e-6))
-        w = jnp.where(gsum > 0, w, 0.0)
-        w_max = jnp.max(w, axis=-1, keepdims=True)
-        w = jnp.where(gsum > 0, w, w_max)
-        numer = 2.0 * jnp.sum(w * inter, axis=-1) + smooth_nr
-        denom = jnp.sum(w * (psum + gsum), axis=-1) + smooth_dr
-        return jnp.mean(1.0 - numer / denom)
-    fdc = 1.0 - (2.0 * inter + smooth_nr) / (psum + gsum + smooth_dr)
-    return jnp.mean(fdc)
+        return _generalized_dice_from_sums(
+            inter, psum, gsum, smooth_nr=smooth_nr, smooth_dr=smooth_dr)
+    return _dice_from_sums(inter, psum + gsum, smooth_nr=smooth_nr,
+                           smooth_dr=smooth_dr)
 
 
 class CompositeLoss:
@@ -380,8 +391,23 @@ class CompositeLoss:
                 raise NotImplementedError(f"Loss ({name}) is not listed yet")
 
     def _auto_fold(self, preds: jnp.ndarray) -> int:
-        if not all(n in FOLDABLE for n in self.names):
+        explicit = self.fold is not None and self.fold > 1
+
+        def declined(reason: str) -> int:
+            # an explicitly requested fold that cannot be honored must not
+            # silently become the slow layout (ADVICE r4); auto mode
+            # (fold=None) falls back silently by design.
+            if explicit:
+                warnings.warn(
+                    f"CompositeLoss(fold={self.fold}) cannot be applied "
+                    f"({reason}); using the standard (unfolded) layout",
+                    stacklevel=3,
+                )
             return 1
+
+        if not all(n in FOLDABLE for n in self.names):
+            bad = [n for n in self.names if n not in FOLDABLE]
+            return declined(f"non-fold-invariant losses {bad}")
         fold = self.fold
         if fold is None:
             try:
@@ -389,8 +415,13 @@ class CompositeLoss:
             except Exception:  # pragma: no cover
                 on_tpu = False
             fold = 8 if on_tpu else 1
-        if fold <= 1 or preds.ndim != 5 or preds.shape[3] % fold != 0:
+        if fold <= 1:
             return 1
+        if preds.ndim != 5:
+            return declined(f"preds must be 5D NDHWC, got ndim={preds.ndim}")
+        if preds.shape[3] % fold != 0:
+            return declined(
+                f"W={preds.shape[3]} is not divisible by fold={fold}")
         return fold
 
     def __call__(

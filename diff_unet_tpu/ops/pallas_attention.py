@@ -107,12 +107,19 @@ def _region_onehot(region_ids: np.ndarray, n: int) -> np.ndarray:
     return _region_onehot_cached(ids.tobytes(), ids.shape, n)
 
 
-def _pallas_forward(qt, kt, vt, bias, n_valid, region_ids, n_windows):
-    """Transposed-layout core: q/k/v arrive (BW, H, Dh, N) — tokens already
-    in the lane dimension — and the output keeps that layout."""
-    bw, h, dh, n = qt.shape
+def _squeeze_block(ref):
+    """Strip a block's leading unit dims, leaving the (rows, N) tile."""
+    return ref.at[(0,) * (len(ref.shape) - 2)]
+
+
+def _pallas_attn(operands, qkv_specs, out_spec, dims, out_dtype, bias,
+                 n_valid, region_ids, n_windows, q_scale):
+    """Shared kernel plumbing for both attention entry points (ADVICE r4):
+    the split (q, k, v) and fused-qkv paths differ ONLY in their operands
+    and BlockSpec index maps; the grid, bias/colmask/enc handling and
+    kernel wrappers live here once."""
+    bw, h, dh, n = dims
     assert n % 128 == 0, "caller must pad tokens to a multiple of 128"
-    qt = qt * (dh ** -0.5)
 
     # key-padding mask baked into the bias columns (saves an in-kernel
     # iota/compare/select on every (N, N) tile)
@@ -125,44 +132,48 @@ def _pallas_forward(qt, kt, vt, bias, n_valid, region_ids, n_windows):
     # heads major / windows minor: the bias block index is constant across
     # the inner window sweep, so its copy is elided after the first fetch
     grid = (h, bw)
-    qkv_spec = pl.BlockSpec((1, 1, dh, n), lambda j, i: (i, j, 0, 0),
-                            memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((1, n, n), lambda j, i: (j, 0, 0),
                              memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((bw, h, dh, n), out_dtype)
 
     if region_ids is not None:
-        enc = _region_onehot(region_ids, n)               # (nW, R, N) np
-        enc = jnp.asarray(enc, dtype=qt.dtype)
-        r_dim = enc.shape[1]
+        enc = jnp.asarray(_region_onehot(region_ids, n), dtype=out_dtype)
         enc_spec = pl.BlockSpec(
-            (1, r_dim, n), lambda j, i: (i % n_windows, 0, 0),
+            (1, enc.shape[1], n), lambda j, i: (i % n_windows, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
         def kernel(q_ref, k_ref, v_ref, b_ref, enc_ref, o_ref):
-            _attn_body(q_ref.at[0, 0], k_ref.at[0, 0], v_ref.at[0, 0],
-                       b_ref.at[0], enc_ref.at[0], o_ref.at[0, 0])
+            _attn_body(_squeeze_block(q_ref), _squeeze_block(k_ref),
+                       _squeeze_block(v_ref), b_ref.at[0], enc_ref.at[0],
+                       _squeeze_block(o_ref), q_scale=q_scale)
 
-        out = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((bw, h, dh, n), qt.dtype),
-            grid=grid,
-            in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, enc_spec],
-            out_specs=qkv_spec,
-        )(qt, kt, vt, bias, enc)
-    else:
-        def kernel(q_ref, k_ref, v_ref, b_ref, o_ref):
-            _attn_body(q_ref.at[0, 0], k_ref.at[0, 0], v_ref.at[0, 0],
-                       b_ref.at[0], None, o_ref.at[0, 0])
+        return pl.pallas_call(
+            kernel, out_shape=out_shape, grid=grid,
+            in_specs=[*qkv_specs, bias_spec, enc_spec], out_specs=out_spec,
+        )(*operands, bias, enc)
 
-        out = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((bw, h, dh, n), qt.dtype),
-            grid=grid,
-            in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
-            out_specs=qkv_spec,
-        )(qt, kt, vt, bias)
-    return out
+    def kernel(q_ref, k_ref, v_ref, b_ref, o_ref):
+        _attn_body(_squeeze_block(q_ref), _squeeze_block(k_ref),
+                   _squeeze_block(v_ref), b_ref.at[0], None,
+                   _squeeze_block(o_ref), q_scale=q_scale)
+
+    return pl.pallas_call(
+        kernel, out_shape=out_shape, grid=grid,
+        in_specs=[*qkv_specs, bias_spec], out_specs=out_spec,
+    )(*operands, bias)
+
+
+def _pallas_forward(qt, kt, vt, bias, n_valid, region_ids, n_windows):
+    """Transposed-layout core: q/k/v arrive (BW, H, Dh, N) — tokens already
+    in the lane dimension — and the output keeps that layout. The q scale
+    rides the kernel body (no separate HBM pass over q)."""
+    bw, h, dh, n = qt.shape
+    qkv_spec = pl.BlockSpec((1, 1, dh, n), lambda j, i: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return _pallas_attn(
+        [qt, kt, vt], [qkv_spec] * 3, qkv_spec, (bw, h, dh, n), qt.dtype,
+        bias, n_valid, region_ids, n_windows, q_scale=dh ** -0.5)
 
 
 def fused_window_attention_t(
@@ -213,63 +224,21 @@ def _pallas_forward_qkv(qkvt, bias, n_valid, region_ids, n_windows):
     """Fused-qkv core: qkvt is ONE (BW, 3, H, Dh, N) array (the free reshape
     of the transposed-layout qkv projection, ops/swin.py) — q/k/v are
     sliced by three BlockSpec index maps over the same operand, so no
-    HBM-level split/transpose ever materialises. The q scale rides the
-    kernel body instead of a separate HBM pass over q."""
+    HBM-level split/transpose ever materialises."""
     bw, three, h, dh, n = qkvt.shape
     assert three == 3, qkvt.shape
-    assert n % 128 == 0, "caller must pad tokens to a multiple of 128"
-    scale = dh ** -0.5
-
-    bias = bias.astype(jnp.float32)
-    if n_valid < n:
-        colmask = np.zeros((1, 1, n), np.float32)
-        colmask[..., n_valid:] = -1e30
-        bias = bias + colmask
-
-    grid = (h, bw)
 
     def qkv_spec(sel):
         return pl.BlockSpec((1, 1, 1, dh, n),
                             lambda j, i, s=sel: (i, s, j, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    bias_spec = pl.BlockSpec((1, n, n), lambda j, i: (j, 0, 0),
-                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, 1, dh, n), lambda j, i: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
-
-    if region_ids is not None:
-        enc = jnp.asarray(_region_onehot(region_ids, n), dtype=qkvt.dtype)
-        enc_spec = pl.BlockSpec(
-            (1, enc.shape[1], n), lambda j, i: (i % n_windows, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-
-        def kernel(q_ref, k_ref, v_ref, b_ref, enc_ref, o_ref):
-            _attn_body(q_ref.at[0, 0, 0], k_ref.at[0, 0, 0],
-                       v_ref.at[0, 0, 0], b_ref.at[0], enc_ref.at[0],
-                       o_ref.at[0, 0], q_scale=scale)
-
-        return pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((bw, h, dh, n), qkvt.dtype),
-            grid=grid,
-            in_specs=[qkv_spec(0), qkv_spec(1), qkv_spec(2), bias_spec,
-                      enc_spec],
-            out_specs=out_spec,
-        )(qkvt, qkvt, qkvt, bias, enc)
-
-    def kernel(q_ref, k_ref, v_ref, b_ref, o_ref):
-        _attn_body(q_ref.at[0, 0, 0], k_ref.at[0, 0, 0], v_ref.at[0, 0, 0],
-                   b_ref.at[0], None, o_ref.at[0, 0], q_scale=scale)
-
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((bw, h, dh, n), qkvt.dtype),
-        grid=grid,
-        in_specs=[qkv_spec(0), qkv_spec(1), qkv_spec(2), bias_spec],
-        out_specs=out_spec,
-    )(qkvt, qkvt, qkvt, bias)
+    return _pallas_attn(
+        [qkvt, qkvt, qkvt], [qkv_spec(0), qkv_spec(1), qkv_spec(2)],
+        out_spec, (bw, h, dh, n), qkvt.dtype, bias, n_valid, region_ids,
+        n_windows, q_scale=dh ** -0.5)
 
 
 def fused_window_attention_qkv(

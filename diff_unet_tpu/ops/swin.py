@@ -204,6 +204,16 @@ def _pallas_attention_enabled() -> bool:
         return False
 
 
+def _pallas_attention_auto(n_programs: int) -> bool:
+    """Kernel gating for WindowAttention: an explicit USE_PALLAS_ATTENTION
+    force always wins; auto mode requires a TPU backend AND a grid big
+    enough to amortise launch overhead (stage-4-sized grids are
+    launch-bound, benchmarks/attention_probe.py)."""
+    if USE_PALLAS_ATTENTION is not None:
+        return USE_PALLAS_ATTENTION
+    return _pallas_attention_enabled() and n_programs >= 256
+
+
 class use_pallas_attention:
     """Context manager enabling the fused Pallas window-attention kernel."""
 
@@ -337,10 +347,7 @@ class WindowAttention(nn.Module):
 
             qkvt = _dense_t(x, k_qkv, b_qkv, self.dtype)
             qkvt = qkvt.reshape(bw, 3, h, head_dim, npad)   # free reshape
-            use_pallas = (
-                USE_PALLAS_ATTENTION if USE_PALLAS_ATTENTION is not None
-                else _pallas_attention_enabled() and bw * h >= 256
-            )
+            use_pallas = _pallas_attention_auto(bw * h)
             if use_pallas:
                 out_t = fused_window_attention_qkv(
                     qkvt, bias_p, n, region_ids, n_windows=nw)
@@ -378,10 +385,7 @@ class WindowAttention(nn.Module):
         # grid-launch bound and measure ~0.9x vs XLA
         # (benchmarks/attention_probe.py) — route them to the einsum path;
         # an explicit use_pallas_attention() force still wins.
-        use_pallas = mask is None and (
-            USE_PALLAS_ATTENTION if USE_PALLAS_ATTENTION is not None
-            else _pallas_attention_enabled() and b * h >= 256
-        )
+        use_pallas = mask is None and _pallas_attention_auto(b * h)
         if use_pallas:
             from diff_unet_tpu.ops.pallas_attention import (
                 fused_window_attention_t,
@@ -525,8 +529,6 @@ class SwinTransformerBlock(nn.Module):
         are masked at the attention input and cropped at the exit); param
         tree identical (DenseParams/LayerNormParams mirror nn.Dense/
         nn.LayerNorm)."""
-        from diff_unet_tpu.ops.blocks import LayerNormParams
-
         b, d, h, w, c = x.shape
         pad = [(0, 0)] + [
             (0, (ws[i] - (d, h, w)[i] % ws[i]) % ws[i]) for i in range(3)

@@ -1,4 +1,6 @@
 """Loss parity (vs torch functional where available) and behaviour tests."""
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -186,5 +188,12 @@ def test_folded_loss_falls_back_for_unfoldable():
         jax.random.randint(jax.random.key(1), (1, 4, 4, 8), 0, 5), 5
     ).astype(jnp.float32)
     want = CompositeLoss("ce,dice", 5, fold=1)(preds, lab)
-    got = CompositeLoss("ce,dice", 5, fold=8)(preds, lab)  # ignored
+    # an explicitly requested but un-honorable fold warns (ADVICE r4)
+    with pytest.warns(UserWarning, match="cannot be applied"):
+        got = CompositeLoss("ce,dice", 5, fold=8)(preds, lab)
     np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+    # auto mode (fold=None) falls back silently by design
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        auto = CompositeLoss("ce,dice", 5)(preds, lab)
+    np.testing.assert_allclose(float(auto), float(want), rtol=1e-6)
