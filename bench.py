@@ -23,10 +23,22 @@ driver timeout therefore loses only the tail sections, never the headline:
 the LAST complete JSON line on stdout is always the current scoreboard.
 Per-section timestamps go to stderr. `python bench.py --smoke` runs ONLY
 the headline (<2 min warm).
+
+Relay first-read stall (r4 postmortem, measured r5): on some axon-relay
+hosts the FIRST device->host read of a process blocks for minutes
+(63-742 s observed on one tiny (8,128) read; every later read, and every
+later program's first execution, is then fast). This — not bench
+structure or compile time — is what emptied BENCH_r04.json. Mitigation
+here: a daemon thread issues a trivial device round-trip at import time so
+the stall is absorbed concurrently with tracing/compilation, and a
+preliminary headline line (value=null, status=channel_warmup, the stall
+diagnostics) is emitted before the first result read so even a timeout
+mid-stall leaves a parseable record of WHY.
 """
 import json
 import os
 import sys
+import threading
 import time
 
 import jax
@@ -36,6 +48,19 @@ from diff_unet_tpu.utils import compile_cache  # noqa: E402
 compile_cache.enable()
 
 import jax.numpy as jnp  # noqa: E402
+
+_CHANNEL = {"t_warm": None}
+
+
+def _warm_channel():
+    t0 = time.time()
+    x = jnp.ones((8, 128), jnp.float32)
+    _ = float(x.ravel()[0])
+    _CHANNEL["t_warm"] = time.time() - t0
+
+
+_warmer = threading.Thread(target=_warm_channel, daemon=True)
+_warmer.start()
 
 SW_BATCH = 16  # pack-2 halves L0/L1 activation bytes; 16 fits v5e HBM (+2%)
 SWIN_SW_BATCH = 8  # DiffSwinUNETR: attention HBM footprint caps the batch
@@ -143,11 +168,27 @@ def main():
         flops_per_step = measured_flops_per_step(params)
         note(f"flops_per_step = {flops_per_step:.4e}")
 
+    # a preliminary record BEFORE the first result read: if the relay
+    # first-read stall (module docstring) eats the driver's timeout, the
+    # artifact still explains itself instead of being empty.
+    RESULT.update({
+        "metric": "ddim_denoise_steps_per_sec_per_chip",
+        "value": None, "status": "channel_warmup",
+        "unit": "96^3-window denoiser steps/sec",
+        "sw_batch": SW_BATCH, "steps": STEPS, "classes": CLASSES,
+    })
+    emit()
+
     # warmup / compile. NOTE: under the axon relay block_until_ready can
     # return before compute finishes; a host read of a result element is the
     # only reliable completion barrier, so every timed iteration reads one.
     out = sample(params, image, jax.random.key(2))
     _ = float(out.ravel()[0])
+    _warmer.join(timeout=0)
+    if _CHANNEL["t_warm"] is not None:
+        RESULT["relay_first_read_s"] = round(_CHANNEL["t_warm"], 1)
+        note(f"relay first-read stall: {_CHANNEL['t_warm']:.1f}s")
+    RESULT.pop("status", None)
     note("headline: compiled + warm; timing 5 iters")
 
     n_iters = 5
@@ -180,7 +221,7 @@ def main():
         return
 
     # ---- north-star: continuous serving volumes/min (BASELINE.json).
-    if not over_budget(90, "serving_bf16"):
+    if not over_budget(45, "serving_bf16"):
         note("serving bf16: warmup + timed pass (6 AMOS volumes)")
         try:
             del out
@@ -192,7 +233,7 @@ def main():
 
     # ---- second flagship family: DiffSwinUNETR DDIM steps/s (VERDICT r4
     # ask #2) — the transposed window-resident Swin path, pack-2 convs.
-    if not over_budget(100, "swin"):
+    if not over_budget(45, "swin"):
         note("swin: init + compile ddim_sample (sw=8)")
         try:
             from diff_unet_tpu.models.swin_unetr import DiffSwinUNETR
@@ -225,7 +266,7 @@ def main():
 
     # ---- training step (VERDICT r3 ask #5): regression-track vs r2's
     # 0.317 s/step (bs 2x96^3, pack-2, mse+bce+dice; fold auto-on since r4)
-    if not over_budget(110, "train"):
+    if not over_budget(30, "train"):
         note("train: compile + 5 steps")
         try:
             from diff_unet_tpu.engine import make_optimizer
@@ -267,7 +308,7 @@ def main():
     # for apples-to-apples honesty). sw=16 fits since the dense DDIM state
     # packing (api.py, BASELINE.md r3).
     seg_q = merged = None
-    if not over_budget(120, "int8"):
+    if not over_budget(60, "int8"):
         note("int8: quantize + compile + 5 iters")
         try:
             from diff_unet_tpu.engine.quantize import (
@@ -299,7 +340,7 @@ def main():
             RESULT["int8_error"] = f"{type(e).__name__}: {e}"[:300]
         emit()
 
-    if merged is not None and not over_budget(90, "serving_int8"):
+    if merged is not None and not over_budget(45, "serving_int8"):
         note("serving int8: warmup + timed pass")
         try:
             RESULT["volumes_per_min_int8"] = round(
