@@ -63,7 +63,7 @@ _warmer = threading.Thread(target=_warm_channel, daemon=True)
 _warmer.start()
 
 SW_BATCH = 16  # pack-2 halves L0/L1 activation bytes; 16 fits v5e HBM (+2%)
-SWIN_SW_BATCH = 8  # DiffSwinUNETR: attention HBM footprint caps the batch
+SWIN_SW_BATCH = 16  # transposed window-resident stages amortise: 43.2 vs 41.3 steps/s at sw=8 (r5)
 STEPS = 10
 CLASSES = 15
 ROI = 96
@@ -120,11 +120,12 @@ def measured_flops_per_step(seg_params):
     return float(cost["flops"])
 
 
-def serving_vol_per_min(serve_seg, serve_params, n_vol=6):
+def serving_vol_per_min(serve_seg, serve_params, n_vol=8):
     """North-star: AMOS volumes/min through cross-volume continuous batching.
 
-    Same methodology as benchmarks/serving_bench.py: AMOS-sized volumes
-    (96x192x192, 9 windows each), full warmup pass, timed pass runs warm.
+    Same methodology as benchmarks/serving_bench.py: 8 AMOS-sized volumes
+    (96x192x192, 9 windows each — the r3-comparable count; fewer weighs
+    the drained tail more), full warmup pass, timed pass runs warm.
     """
     from diff_unet_tpu.engine.serving import ContinuousBatchingInferer
 
@@ -222,7 +223,7 @@ def main():
 
     # ---- north-star: continuous serving volumes/min (BASELINE.json).
     if not over_budget(45, "serving_bf16"):
-        note("serving bf16: warmup + timed pass (6 AMOS volumes)")
+        note("serving bf16: warmup + timed pass (8 AMOS volumes)")
         try:
             del out
             RESULT["volumes_per_min_bf16"] = round(

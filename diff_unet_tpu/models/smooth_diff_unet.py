@@ -47,10 +47,22 @@ class SmoothLayer(nn.Module):
         xp = jnp.pad(
             x, ((0, 0), (p, p), (p, p), (p, p), (0, 0)), mode="constant"
         )
-        lap = -6.0 * xp
+        # 6-neighbour stencil as SLICES of the one padded tensor, not
+        # jnp.roll: roll lowers to concat, which XLA materialises — at the
+        # sw=8 96^3 geometry the 6 rolled copies alone were ~6 GB of HBM
+        # temps and pushed the DDIM program to 15.4 GB total (OOM; r5
+        # memory_analysis). Slices fuse into the add chain, so the whole
+        # Laplacian is one VPU pass over xp. Numerics identical
+        # (zero-padded boundaries either way).
+        lap = -6.0 * x
         for axis in (1, 2, 3):
-            lap = lap + jnp.roll(xp, p, axis) + jnp.roll(xp, -p, axis)
-        lap = lap[:, p:-p, p:-p, p:-p, :] * weight.astype(x.dtype)
+            for off in (-p, p):
+                sls = [slice(None), slice(p, xp.shape[1] - p),
+                       slice(p, xp.shape[2] - p),
+                       slice(p, xp.shape[3] - p), slice(None)]
+                sls[axis] = slice(p + off, xp.shape[axis] - p + off)
+                lap = lap + xp[tuple(sls)]
+        lap = lap * weight.astype(x.dtype)
         return x + lap
 
 
