@@ -235,7 +235,7 @@ def main():
     # ---- second flagship family: DiffSwinUNETR DDIM steps/s (VERDICT r4
     # ask #2) — the transposed window-resident Swin path, pack-2 convs.
     if not over_budget(45, "swin"):
-        note("swin: init + compile ddim_sample (sw=8)")
+        note(f"swin: init + compile ddim_sample (sw={SWIN_SW_BATCH})")
         try:
             from diff_unet_tpu.models.swin_unetr import DiffSwinUNETR
 
