@@ -150,6 +150,7 @@ class PackedConvNormAct(nn.Module):
     f: int = 2
     negative_slope: float = 0.1
     kernel_size: int = 3
+    norm: str = "instance"
     quantize: bool = False
     dtype: Optional[jnp.dtype] = None
 
@@ -169,7 +170,13 @@ class PackedConvNormAct(nn.Module):
             x = pk.packed_conv(x_p, k, b, self.f, in_groups,
                                dtype=self.dtype)
         scale, bias = _NormParams(self.features, name="norm")()
-        x = pk.packed_instance_norm(x, scale, bias, self.f, dtype=self.dtype)
+        if self.norm == "layer":
+            x = pk.packed_layer_norm(x, scale, bias, self.f,
+                                     dtype=self.dtype)
+        else:
+            assert self.norm == "instance", self.norm
+            x = pk.packed_instance_norm(x, scale, bias, self.f,
+                                        dtype=self.dtype)
         return nn.leaky_relu(x, negative_slope=self.negative_slope)
 
 
@@ -180,13 +187,15 @@ class PackedTwoConv(nn.Module):
     f: int = 2
     use_temb: bool = True
     negative_slope: float = 0.1
+    norm: str = "instance"
     quantize: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x_p, temb=None, in_groups=None):
         x = PackedConvNormAct(self.features, self.in_features, self.f,
-                              self.negative_slope, quantize=self.quantize,
+                              self.negative_slope, norm=self.norm,
+                              quantize=self.quantize,
                               dtype=self.dtype,
                               name="conv_0")(x_p, in_groups)
         if self.use_temb and temb is not None:
@@ -195,7 +204,8 @@ class PackedTwoConv(nn.Module):
             proj_p = jnp.tile(proj, (1, self.f))
             x = x + proj_p[:, None, None, None, :].astype(x.dtype)
         x = PackedConvNormAct(self.features, self.features, self.f,
-                              self.negative_slope, quantize=self.quantize,
+                              self.negative_slope, norm=self.norm,
+                              quantize=self.quantize,
                               dtype=self.dtype,
                               name="conv_1")(x)
         return x
@@ -285,25 +295,28 @@ class _PackedDownConvs(nn.Module):
     features: int
     in_features: int
     f: int = 2
+    norm: str = "instance"
     quantize: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x_p, temb):
         return PackedTwoConv(self.features, self.in_features, self.f,
-                             quantize=self.quantize,
+                             norm=self.norm, quantize=self.quantize,
                              dtype=self.dtype, name="convs")(x_p, temb)
 
 
 class _PlainDownConvs(nn.Module):
     """`Down`-compatible scope for the unpacked deep levels."""
     features: int
+    norm: str = "instance"
     quantize: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, temb):
-        return TwoConv(self.features, quantize=self.quantize,
+        return TwoConv(self.features, norm=self.norm,
+                       quantize=self.quantize,
                        dtype=self.dtype, name="convs")(x, temb)
 
 
@@ -314,6 +327,7 @@ class _PackedUpCatEnter(nn.Module):
     up_features: int
     skip_features: int
     f: int = 2
+    norm: str = "instance"
     quantize: bool = False
     dtype: Optional[jnp.dtype] = None
 
@@ -338,7 +352,7 @@ class _PackedUpCatEnter(nn.Module):
                                   self.f)
         return PackedTwoConv(
             self.features, self.skip_features + self.up_features, self.f,
-            quantize=self.quantize,
+            norm=self.norm, quantize=self.quantize,
             dtype=self.dtype, name="convs")(cat, temb, groups)
 
 
@@ -348,6 +362,7 @@ class _PackedUpCatPacked(nn.Module):
     up_features: int
     skip_features: int
     f: int = 2
+    norm: str = "instance"
     quantize: bool = False
     dtype: Optional[jnp.dtype] = None
 
@@ -374,7 +389,7 @@ class _PackedUpCatPacked(nn.Module):
                                   self.f)
         return PackedTwoConv(
             self.features, self.skip_features + self.up_features, self.f,
-            quantize=self.quantize,
+            norm=self.norm, quantize=self.quantize,
             dtype=self.dtype, name="convs")(cat, temb, groups)
 
 
@@ -390,6 +405,7 @@ class BasicUNetDenoiserPacked(nn.Module):
     out_channels: int
     features: Sequence[int] = DEFAULT_FEATURES
     negative_slope: float = 0.1
+    norm: str = "instance"
     pack: int = 2
     quantize: bool = False   # W8A8 int8 convs at the packed levels
     dtype: Optional[jnp.dtype] = None
@@ -410,42 +426,44 @@ class BasicUNetDenoiserPacked(nn.Module):
             stem_groups = pk.default_groups(c_x, f)
             c_in = c_x
 
-        x0 = PackedTwoConv(fea[0], c_in, f, quantize=self.quantize,
-                           dtype=self.dtype,
+        x0 = PackedTwoConv(fea[0], c_in, f, norm=self.norm,
+                           quantize=self.quantize, dtype=self.dtype,
                            name="conv_0")(x_p, temb, stem_groups)
         if embeddings is not None:
             x0 = x0 + embeddings[0]
-        x1 = _PackedDownConvs(fea[1], fea[0], f, quantize=self.quantize,
-                              dtype=self.dtype,
+        x1 = _PackedDownConvs(fea[1], fea[0], f, norm=self.norm,
+                              quantize=self.quantize, dtype=self.dtype,
                               name="down_1")(pk.packed_maxpool2(x0, f), temb)
         if embeddings is not None:
             x1 = x1 + embeddings[1]
         # L1 -> L2 boundary: the packed pool naturally unpacks.
         # quantize covers the FULL depth: the C=128-512 levels and deconvs
         # hold ~18% of the FLOPs (VERDICT r2 weak #4c)
-        x2 = _PlainDownConvs(fea[2], quantize=self.quantize,
+        x2 = _PlainDownConvs(fea[2], norm=self.norm, quantize=self.quantize,
                              dtype=self.dtype, name="down_2")(
             pk.packed_maxpool2(x1, f, repack=False), temb)
         if embeddings is not None:
             x2 = x2 + embeddings[2]
-        x3 = Down(fea[3], quantize=self.quantize, dtype=self.dtype,
-                  name="down_3")(x2, temb)
+        x3 = Down(fea[3], norm=self.norm, quantize=self.quantize,
+                  dtype=self.dtype, name="down_3")(x2, temb)
         if embeddings is not None:
             x3 = x3 + embeddings[3]
-        x4 = Down(fea[4], quantize=self.quantize, dtype=self.dtype,
-                  name="down_4")(x3, temb)
+        x4 = Down(fea[4], norm=self.norm, quantize=self.quantize,
+                  dtype=self.dtype, name="down_4")(x3, temb)
         if embeddings is not None:
             x4 = x4 + embeddings[4]
 
-        u4 = UpCat(fea[3], fea[4] // 2, quantize=self.quantize,
+        u4 = UpCat(fea[3], fea[4] // 2, norm=self.norm,
+                   quantize=self.quantize,
                    dtype=self.dtype, name="upcat_4")(x4, x3, temb)
-        u3 = UpCat(fea[2], fea[3] // 2, quantize=self.quantize,
+        u3 = UpCat(fea[2], fea[3] // 2, norm=self.norm,
+                   quantize=self.quantize,
                    dtype=self.dtype, name="upcat_3")(u4, x2, temb)
         u2 = _PackedUpCatEnter(fea[1], fea[2] // 2, fea[1], f,
-                               quantize=self.quantize,
+                               norm=self.norm, quantize=self.quantize,
                                dtype=self.dtype, name="upcat_2")(u3, x1, temb)
         u1 = _PackedUpCatPacked(fea[5], fea[1], fea[0], f,
-                                quantize=self.quantize,
+                                norm=self.norm, quantize=self.quantize,
                                 dtype=self.dtype, name="upcat_1")(u2, x0, temb)
 
         fk, fb = _ConvParams(self.out_channels, fea[5],

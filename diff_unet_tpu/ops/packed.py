@@ -158,6 +158,36 @@ def packed_instance_norm(
     return y.astype(dtype or x_p.dtype)
 
 
+def packed_layer_norm(
+    x_p: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, f: int,
+    epsilon: float = 1e-6, dtype=None,
+) -> jnp.ndarray:
+    """LayerNorm over the REAL channel axis of a pack-f tensor.
+
+    Each packed column holds f independent voxels, so per-w-offset-block
+    channel statistics are exact per-voxel statistics — no cross-block
+    averaging needed (unlike packed_instance_norm, whose reduction spans
+    the spatial extent). The blocks are normalized as LANE SLICES of the
+    packed channel axis, NOT via an (…, f, C) reshape: splitting the lane
+    dimension relayouts the whole tensor twice per norm (measured 24.3 vs
+    40.3 DDIM steps/s on SmoothDiffUNet sw=8 — worse than not packing at
+    all), while slices stay elementwise on lane subsets and fuse.
+    Mirrors nn.LayerNorm (epsilon 1e-6, f32 stats)."""
+    c = x_p.shape[-1] // f
+    sdt = jnp.promote_types(x_p.dtype, jnp.float32)
+    out_dt = dtype or x_p.dtype
+    s = scale.astype(sdt)
+    b = bias.astype(sdt)
+    halves = []
+    for i in range(f):
+        xi = x_p[..., i * c:(i + 1) * c].astype(sdt)
+        mean = jnp.mean(xi, axis=-1, keepdims=True)
+        var = jnp.mean(lax.square(xi - mean), axis=-1, keepdims=True)
+        y = (xi - mean) * lax.rsqrt(var + epsilon)
+        halves.append((y * s + b).astype(out_dt))
+    return jnp.concatenate(halves, axis=-1)
+
+
 def packed_maxpool2(x_p: jnp.ndarray, f: int = 2,
                     repack: bool = True) -> jnp.ndarray:
     """2x2x2 max-pool of a pack-2 tensor.
