@@ -73,10 +73,12 @@ def create_model(
             f"diff_swin_unetr (got {model_name}); W8A8 int8 inference "
             "covers their conv stacks (ops/int8.py)"
         )
-    if pack > 1 and model_name not in ("diff_unet", "diff_swin_unetr"):
+    if pack > 1 and model_name not in (
+        "diff_unet", "diff_swin_unetr", "smooth_diff_unet"
+    ):
         raise ValueError(
-            f"pack={pack} is only supported for diff_unet and "
-            f"diff_swin_unetr (got {model_name}); see ops/packed.py"
+            f"pack={pack} is only supported for diff_unet, diff_swin_unetr "
+            f"and smooth_diff_unet (got {model_name}); see ops/packed.py"
         )
     if model_name == "diff_unet":
         from diff_unet_tpu.models.diff_unet import DiffUNet
@@ -87,10 +89,13 @@ def create_model(
     if model_name == "smooth_diff_unet":
         from diff_unet_tpu.models.smooth_diff_unet import SmoothDiffUNet
         kw = {"features": tuple(features)} if features else {}
+        # pack is AVAILABLE but not recommended for this family: measured
+        # net-negative on the layer-norm denoiser (BASELINE.md round-5
+        # smooth-family packing exploration)
         return SmoothDiffUNet(
             out_channels=out_channels, in_channels=in_channels,
-            image_size=image_size, spatial_size=spatial_size, dtype=dtype,
-            **kw,
+            image_size=image_size, spatial_size=spatial_size, pack=pack,
+            dtype=dtype, **kw,
         )
     if model_name == "attention_diff_unet":
         from diff_unet_tpu.models.attention_diff_unet import AttentionDiffUNet

@@ -294,7 +294,12 @@ def test_unknown_config_keys_warn(tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="diff_unet"):
         create_model("smooth_diff_unet", out_channels=2, quantize=True)
     with pytest.raises(ValueError, match="pack"):
-        create_model("smooth_diff_unet", out_channels=2, pack=2)
+        create_model("attention_diff_unet", out_channels=2, pack=2)
+    # smooth gained opt-in pack-2 in round 5 (available, not recommended —
+    # BASELINE.md round-5 packing exploration)
+    m = create_model("smooth_diff_unet", out_channels=2, pack=2,
+                     image_size=16, spatial_size=16)
+    assert m.pack == 2
 
 
 def test_channels_to_class_ids():
