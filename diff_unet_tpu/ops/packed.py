@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
